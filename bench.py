@@ -1,0 +1,81 @@
+"""Benchmark: pose2vid throughput at the BASELINE flagship operating point.
+
+Config #3 of BASELINE.json: pose2vid + CameraCtrl, 24 frames at 512x768,
+DDIM 30 steps, CFG 3.5 — the full camera-aware denoise loop (ReferenceNet
+once + 30 x windowed video-UNet CFG steps + VAE decode), bf16, random weights
+(numerics are weight-independent for throughput).
+
+Prints ONE JSON line: frames/sec/chip. ``vs_baseline`` compares against the
+A100+diffusers reference estimate for the same op-point (~0.15 f/s: ~2.7 min
+for a 24-frame 512x768 clip with 30 CFG'd UNet steps; the reference repo
+publishes no numbers — BASELINE.md documents the measurement protocol).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from humanvid_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W, F = 768, 512, 24
+STEPS = 30
+GUIDANCE = 3.5
+A100_BASELINE_FPS = 0.15  # documented estimate; see module docstring
+
+
+def main():
+    from humanvid_tpu.pipelines import CamAnimate, Pose2VideoPipeline
+    from humanvid_tpu.pipelines.system import CamAnimateConfig
+    from humanvid_tpu.data.camera import (
+        get_relative_pose,
+        intrinsics_vector,
+        ray_condition,
+        static_camera,
+    )
+
+    system = CamAnimate(CamAnimateConfig(), dtype=jnp.bfloat16)
+    params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2)
+    pipe = Pose2VideoPipeline(system, params)
+
+    rng = np.random.default_rng(0)
+    ref_image = rng.random((H, W, 3)).astype(np.float32)
+    pose_video = rng.random((F, H, W, 3)).astype(np.float32)
+    clip_image = rng.random((224, 224, 3)).astype(np.float32)
+    cams = static_camera((W, H), F + 1)
+    K = intrinsics_vector(cams[1:], (W, H))
+    c2w = get_relative_pose(cams)[1:]
+    plucker = ray_condition(K, c2w, H, W)
+
+    def run():
+        return pipe(
+            ref_image, pose_video, plucker, clip_image,
+            num_inference_steps=STEPS, guidance_scale=GUIDANCE,
+            context_frames=24, context_overlap=4, decode_chunk=4,
+        )
+
+    run()  # compile
+    t0 = time.time()
+    out = run()
+    dt = time.time() - t0
+    assert np.isfinite(out.videos).all()
+
+    fps = F / dt
+    print(json.dumps({
+        "metric": "pose2vid_frames_per_sec_per_chip_512x768x24f_ddim30_cfg",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

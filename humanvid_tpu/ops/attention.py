@@ -1,0 +1,139 @@
+"""Multi-head attention for the diffusion UNets.
+
+TPU-first design notes:
+
+- One attention module serves all four attention flavors of the reference stack
+  (spatial self-attn with concatenated reference KV, CFG-masked reference reads,
+  cross-attn to CLIP image embeddings, and tiny-sequence temporal attention).
+- The reference implements "uncond rows must not see the reference features"
+  by *re-running* attention on the uncond half of the CFG batch
+  (reference ``src/models/mutual_self_attention.py:166-186``). Here the same
+  semantics are a single attention call with an additive ``-inf`` bias on the
+  extra-KV keys for masked rows — softmax over the masked support is identical
+  to softmax over the subset, so results match bit-for-bit in exact arithmetic
+  while keeping one fused kernel and no data-dependent control flow.
+- Computation runs through a swappable backend: an einsum path (XLA fuses this
+  well for the modest sequence lengths here) and a Pallas flash-attention path
+  for the long spatial sequences (H/8*W/8 up to ~6k tokens, KV up to 2x that).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9  # large-but-finite; avoids NaNs if a row were fully masked
+
+# Module-level switch: "xla" | "flash". Tests pin "xla"; production uses flash
+# for the big spatial sequences (set by pipelines via `use_flash_attention`).
+_DEFAULT_BACKEND = "xla"
+
+
+def set_default_attention_backend(backend: str) -> None:
+    global _DEFAULT_BACKEND
+    assert backend in ("xla", "flash"), backend
+    _DEFAULT_BACKEND = backend
+
+
+def get_default_attention_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+def _xla_attention(q, k, v, bias):
+    """Reference einsum attention. q:(B,H,Lq,D) k,v:(B,H,Lk,D) bias:(B,1,Lq,Lk)|None."""
+    dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, H, L, D) tensors."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "flash":
+        from .flash_attention import flash_attention  # local import: pallas optional
+
+        return flash_attention(q, k, v, bias)
+    return _xla_attention(q, k, v, bias)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention matching diffusers' ``Attention`` parameterization.
+
+    Parameters are named ``to_q / to_k / to_v / to_out`` so that converted
+    torch checkpoints map 1:1 (q/k/v have no bias in SD1.5; out has bias).
+
+    Call signature supports the reference-feature read: ``extra_kv`` is a
+    second sequence appended to the self-attention KV, and ``extra_kv_disable``
+    is a per-row boolean that hides the extra keys from that row (the CFG
+    uncond rows in the reference read path).
+    """
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None  # None => self-attention
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        extra_kv: Optional[jnp.ndarray] = None,
+        extra_kv_disable: Optional[jnp.ndarray] = None,
+        backend: Optional[str] = None,
+    ) -> jnp.ndarray:
+        B, Lq, _ = x.shape
+        inner = self.heads * self.head_dim
+        kv_src = x if context is None else context
+        dense = partial(
+            nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+
+        q = dense(inner, use_bias=False, name="to_q")(x)
+        kv_in = kv_src
+        if extra_kv is not None:
+            kv_in = jnp.concatenate([kv_src, extra_kv.astype(kv_src.dtype)], axis=1)
+        k = dense(inner, use_bias=False, name="to_k")(kv_in)
+        v = dense(inner, use_bias=False, name="to_v")(kv_in)
+
+        def split_heads(t):
+            return t.reshape(B, t.shape[1], self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        bias = None
+        if extra_kv is not None and extra_kv_disable is not None:
+            # (B,) bool -> bias (B, 1, 1, Lk) with NEG_INF on the appended keys
+            # for disabled rows. Broadcasts over heads and query positions.
+            n_extra = extra_kv.shape[1]
+            n_self = kv_src.shape[1]
+            key_is_extra = jnp.concatenate(
+                [jnp.zeros((n_self,), bool), jnp.ones((n_extra,), bool)]
+            )
+            bias = jnp.where(
+                extra_kv_disable[:, None, None, None] & key_is_extra[None, None, None, :],
+                NEG_INF,
+                0.0,
+            ).astype(jnp.float32)
+
+        out = dot_product_attention(q, k, v, bias, backend=backend)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+        return dense(self.query_dim, use_bias=self.out_bias, name="to_out")(out)

@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is DDP over NCCL via HF accelerate
+(``train_stage_1.py:225-232``; SURVEY §2.9). The TPU-native equivalent: a
+``jax.sharding.Mesh`` with a ``data`` axis (and an optional ``window`` axis for
+inference window fan-out); the train step is jitted with batch inputs sharded
+over ``data`` and parameters replicated, so XLA emits the gradient ``psum``
+over ICI — no hand-written collectives, and no DDP unused-parameter hacks
+(functional grads make them structural).
+
+Multi-slice scaling later adds a DCN axis the same way; the code here is
+axis-name-driven so that's a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """1-D (or reshaped n-D) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if len(axis_names) == 1:
+        shape = (n_devices,)
+    else:
+        # fill trailing axes of size 1 unless caller reshapes explicitly
+        shape = (n_devices,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+
+
+def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for batch-leading arrays: first axis split over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_pytree_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Device-put every leaf with its first axis sharded over ``axis``."""
+    sh = shard_batch(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

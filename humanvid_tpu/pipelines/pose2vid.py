@@ -1,0 +1,251 @@
+"""Pose2Video pipeline: camera-aware long-video inference.
+
+Behavioral parity: reference ``src/pipelines/pipeline_pose2vid_long.py:339-587``
+(the production inference path) — CLIP-embed the reference image, run the
+ReferenceNet once, sliding context windows with overlap-averaged noise fusion,
+CFG split after averaging, DDIM steps, VAE decode.
+
+TPU-first re-design:
+- The reference iterates windows serially and re-runs PoseGuider/camera encoder
+  per window per step. Here all windows of a step form one batched UNet call
+  (batch = 2*CFG x num_windows), PoseGuider features are precomputed once for
+  all frames (they're frame-local convs), and window gathering/scatter-adding
+  is pure indexing inside one jitted ``lax.scan`` over timesteps.
+- The window batch axis is the natural sharding axis over a device mesh.
+- Known reference quirk NOT replicated: the inner loop's shadowing of the
+  timestep index ``i`` (``pipeline_pose2vid_long.py:507``, see SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.ddim import DDIMState, ddim_set_timesteps, ddim_step
+from ..diffusion.schedule import NoiseSchedule
+from .context import all_step_windows
+from .system import CamAnimate, Params
+
+
+@dataclasses.dataclass(frozen=True)
+class Pose2VideoOutput:
+    videos: np.ndarray  # (b, f, H, W, 3) float32 in [0, 1]
+    latents: np.ndarray
+
+
+def _encode_reference(
+    system: CamAnimate, params: Params, ref_image: jnp.ndarray, clip_image: jnp.ndarray,
+    do_cfg: bool,
+):
+    """VAE-encode + CLIP-embed the reference image; run the ReferenceNet.
+
+    Returns (context (2b or b, 1, d), ref_features tuple batched for CFG).
+    """
+    moments = system.vae_encoder.apply(params["vae_encoder"], ref_image)
+    mean, _ = jnp.split(moments, 2, axis=-1)
+    ref_latents = mean * system.config.vae.scaling_factor  # (b, h8, w8, 4)
+
+    image_embeds = system.clip.apply(params["clip"], clip_image)  # (b, d)
+    ctx = image_embeds[:, None, :]  # (b, 1, d)
+    if do_cfg:
+        ctx = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)
+        ref_latents = jnp.concatenate([ref_latents, ref_latents], axis=0)
+
+    t0 = jnp.zeros((ctx.shape[0],), jnp.float32)
+    _, ref_feats = system.reference_unet.apply(
+        params["reference_unet"], ref_latents, t0, ctx, collect_ref_features=True
+    )
+    return ctx, ref_feats
+
+
+def _denoise_scan(
+    system: CamAnimate,
+    sched: NoiseSchedule,
+    params: Params,
+    latents: jnp.ndarray,        # (f, h8, w8, 4)
+    ctx: jnp.ndarray,            # (2, 1, d) CFG [uncond, cond]
+    ref_feats,                   # tuple of (2, l, c)
+    pose_fea: jnp.ndarray,       # (f, h8, w8, c0) precomputed pose-guider features
+    plucker: jnp.ndarray,        # (f, H, W, 6)
+    windows: jnp.ndarray,        # (S, W, F) int32
+    timesteps: jnp.ndarray,      # (S,)
+    prev_timesteps: jnp.ndarray, # (S,)
+    guidance_scale: float,
+):
+    S, W, F = windows.shape
+    do_cfg = guidance_scale > 1.0
+    cfg_mult = 2 if do_cfg else 1
+
+    # context per window-batch row: [uncond]*W + [cond]*W
+    if do_cfg:
+        ctx_b = jnp.concatenate([jnp.repeat(ctx[:1], W, 0), jnp.repeat(ctx[1:], W, 0)], 0)
+        feats_b = tuple(
+            jnp.concatenate([jnp.repeat(f[:1], W, 0), jnp.repeat(f[1:], W, 0)], 0)
+            for f in ref_feats
+        )
+        ref_disable = jnp.concatenate([jnp.ones((W,), bool), jnp.zeros((W,), bool)])
+    else:
+        ctx_b = jnp.repeat(ctx, W, 0)
+        feats_b = tuple(jnp.repeat(f, W, 0) for f in ref_feats)
+        ref_disable = None
+
+    def step_fn(latents, scan_in):
+        win, t, prev_t = scan_in  # win: (W, F)
+        lat_w = latents[win]                       # (W, F, h8, w8, 4)
+        pose_w = pose_fea[win]                     # (W, F, h8, w8, c0)
+        plk_w = plucker[win]                       # (W, F, H, W, 6)
+
+        h8, w8 = lat_w.shape[2], lat_w.shape[3]
+        cam_w = system.camera_encoder.apply(
+            params["camera_encoder"],
+            plk_w.reshape((W * F,) + plk_w.shape[2:]),
+            F,
+        )  # ((W F), h8, w8, c0)
+        cond = pose_w.reshape(cam_w.shape) + cam_w  # ((W F), h8, w8, c0)
+
+        x = lat_w.reshape((W * F, h8, w8, lat_w.shape[-1]))
+        if do_cfg:
+            x = jnp.concatenate([x, x], axis=0)
+            cond = jnp.concatenate([cond, cond], axis=0)
+
+        t_b = jnp.broadcast_to(t.astype(jnp.float32), (cfg_mult * W,))
+        eps, _ = system.denoising_unet.apply(
+            params["denoising_unet"], x, t_b, ctx_b,
+            cond_fea=cond, ref_features=feats_b, ref_disable=ref_disable, frames=F,
+        )  # ((cfg W F), h8, w8, 4)
+        eps = eps.reshape((cfg_mult, W, F, h8, w8, eps.shape[-1]))
+
+        # overlap accumulation (reference :550-556)
+        zero = jnp.zeros((cfg_mult,) + latents.shape, eps.dtype)
+        noise_sum = zero.at[:, win].add(eps)
+        counter = jnp.zeros(latents.shape[0], eps.dtype).at[win.reshape(-1)].add(1.0)
+        noise_avg = noise_sum / counter[None, :, None, None, None]
+
+        if do_cfg:
+            noise_pred = noise_avg[0] + guidance_scale * (noise_avg[1] - noise_avg[0])
+        else:
+            noise_pred = noise_avg[0]
+
+        latents = ddim_step(sched, noise_pred.astype(latents.dtype), t, prev_t, latents)
+        return latents, None
+
+    latents, _ = jax.lax.scan(step_fn, latents, (windows, timesteps, prev_timesteps))
+    return latents
+
+
+def decode_latents(system: CamAnimate, params: Params, latents: jnp.ndarray,
+                   frame_chunk: int = 1) -> jnp.ndarray:
+    """(f, h8, w8, 4) -> (f, H, W, 3) in [0, 1]; scanned frame-chunked decode.
+
+    Jitted with params as explicit args: an *eager* lax.scan would capture the
+    decoder params as lowering constants, which deadlocks on this JAX build
+    (see NoiseSchedule docstring).
+    """
+    f = latents.shape[0]
+    assert f % frame_chunk == 0, (f, frame_chunk)
+    chunks = latents.reshape((f // frame_chunk, frame_chunk) + latents.shape[1:])
+    imgs = _decode_scan(system, frame_chunk)(params["vae_decoder"], chunks)
+    imgs = imgs.reshape((f,) + imgs.shape[2:])
+    return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _decode_scan(system: CamAnimate, frame_chunk: int):
+    scale = 1.0 / system.config.vae.scaling_factor
+
+    @jax.jit
+    def run(dec_params, chunks):
+        def dec(_, z):
+            return None, system.vae_decoder.apply(dec_params, z * scale)
+
+        _, imgs = jax.lax.scan(dec, None, chunks)
+        return imgs
+
+    return run
+
+
+class Pose2VideoPipeline:
+    """Host-side orchestration around the jitted denoise scan."""
+
+    def __init__(self, system: CamAnimate, params: Params):
+        self.system = system
+        self.params = params
+        self.sched = system.make_schedule()
+        self._jit_cache = {}
+
+    def _denoise_fn(self, guidance_scale: float):
+        """Jitted denoise scan, cached per guidance scale (shapes handled by jit)."""
+        key = float(guidance_scale)
+        if key not in self._jit_cache:
+            system, sched = self.system, self.sched
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
+                return _denoise_scan(
+                    system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
+                    windows, ts, pts, guidance_scale,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def __call__(
+        self,
+        ref_image: np.ndarray,     # (H, W, 3) in [0, 1]
+        pose_video: np.ndarray,    # (f, H, W, 3) in [0, 1]
+        plucker: np.ndarray,       # (f, H, W, 6)
+        clip_image: np.ndarray,    # (224, 224, 3) in [0, 1], CLIP-preprocessed size
+        num_inference_steps: int = 30,
+        guidance_scale: float = 3.5,
+        context_frames: int = 24,
+        context_stride: int = 1,
+        context_overlap: int = 4,
+        rng: Optional[jax.Array] = None,
+        decode_chunk: int = 1,
+    ) -> Pose2VideoOutput:
+        from ..models.clip_vision import clip_preprocess
+
+        system, params = self.system, self.params
+        f, H, Wd, _ = pose_video.shape
+        h8, w8 = H // 8, Wd // 8
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        do_cfg = guidance_scale > 1.0
+
+        ddim = ddim_set_timesteps(
+            self.sched, num_inference_steps,
+            timestep_spacing=system.config.timestep_spacing,
+            steps_offset=system.config.steps_offset,
+        )
+        windows = jnp.asarray(all_step_windows(
+            num_inference_steps, f, context_frames, context_stride, context_overlap
+        ))
+
+        dtype = system.dtype
+        ref_img = jnp.asarray(ref_image, dtype)[None] * 2.0 - 1.0
+        clip_img = clip_preprocess(jnp.asarray(clip_image, dtype))[None]
+        # pose conditioning stays in [0, 1]: the reference's cond processor has
+        # do_normalize=False (pipeline_pose2vid_long.py:77-80)
+        pose = jnp.asarray(pose_video, dtype)
+        plk = jnp.asarray(plucker, dtype)
+
+        ctx, ref_feats = _encode_reference(system, params, ref_img, clip_img, do_cfg)
+        pose_fea = system.pose_guider.apply(params["pose_guider"], pose)
+        latents = jax.random.normal(rng, (f, h8, w8, 4), dtype)
+
+        latents = self._denoise_fn(guidance_scale)(
+            params, latents, ctx, ref_feats, pose_fea, plk,
+            windows, ddim.timesteps, ddim.prev_timesteps,
+        )
+        video = decode_latents(system, params, latents, frame_chunk=decode_chunk)
+        return Pose2VideoOutput(
+            videos=np.asarray(video, np.float32)[None],
+            latents=np.asarray(latents, np.float32),
+        )

@@ -1,0 +1,21 @@
+from .state import (
+    OptimizerConfig,
+    TrainState,
+    make_optimizer,
+    stage1_trainable,
+    stage2_trainable,
+    trainability_mask,
+)
+from .step import TrainConfig, make_loss_fn, make_train_step
+
+__all__ = [
+    "OptimizerConfig",
+    "TrainState",
+    "make_optimizer",
+    "stage1_trainable",
+    "stage2_trainable",
+    "trainability_mask",
+    "TrainConfig",
+    "make_loss_fn",
+    "make_train_step",
+]

@@ -1,0 +1,128 @@
+"""Train state, optimizers, and trainability masks.
+
+Replaces the reference's ``requires_grad_`` surgery + DDP
+``find_unused_parameters`` (``train_stage_1.py:346-360``,
+``train_stage_2.py:194-206``) with optax ``multi_transform`` masks over a
+functional param pytree.
+
+Parity notes:
+- Stage 1 trains: denoising UNet (motion off), ReferenceNet except
+  ``up_blocks.3`` — plus, to match torch AdamW's skip-if-no-grad behavior,
+  the ReferenceNet's ``conv_norm_out``/``conv_out`` (whose activations never
+  feed the reference banks, so torch sees ``grad=None`` and never applies
+  weight decay to them) — PoseGuider, CameraPoseEncoder.
+- Stage 2 trains: motion modules + CameraPoseEncoder only
+  (``train_stage_2.py:194-206``).
+- AdamW lr 1e-5, betas (0.9, 0.999), wd 1e-2, eps 1e-8; grad-norm clip 1.0
+  (``configs/train/stage{1,2}.yaml``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 1e-5
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 1e-2
+    eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 0
+    lr_schedule: str = "constant"
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(k, "key", str(k)) for k in path)
+
+
+def stage1_trainable(component: str, path: str) -> bool:
+    if component in ("denoising_unet", "pose_guider", "camera_encoder"):
+        return True
+    if component == "reference_unet":
+        frozen_prefixes = ("params/up_3_", "params/conv_norm_out", "params/conv_out")
+        return not path.startswith(frozen_prefixes)
+    return False
+
+
+def stage2_trainable(component: str, path: str) -> bool:
+    if component == "camera_encoder":
+        return True
+    if component == "denoising_unet":
+        return "_motion_" in path
+    return False
+
+
+def trainability_mask(params: Params, predicate: Callable[[str, str], bool]):
+    """Pytree of 'train'/'freeze' labels mirroring ``params``."""
+    def label(component, tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "train" if predicate(component, _path_str(path)) else "freeze",
+            tree,
+        )
+    return {k: label(k, v) for k, v in params.items()}
+
+
+def make_optimizer(
+    params: Params,
+    predicate: Callable[[str, str], bool],
+    config: OptimizerConfig = OptimizerConfig(),
+) -> optax.GradientTransformation:
+    if config.lr_schedule == "constant":
+        # reference: diffusers get_scheduler("constant") — no warmup
+        # (configs/train/stage1.yaml lr_scheduler).
+        if config.warmup_steps > 0:
+            lr = optax.schedules.warmup_constant_schedule(
+                0.0, config.learning_rate, config.warmup_steps
+            )
+        else:
+            lr = config.learning_rate
+    else:
+        raise ValueError(config.lr_schedule)
+    adamw = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(
+            lr, b1=config.beta1, b2=config.beta2, eps=config.eps,
+            weight_decay=config.weight_decay,
+        ),
+    )
+    labels = trainability_mask(params, predicate)
+    return optax.multi_transform(
+        {"train": adamw, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any          # differentiated components only
+    frozen: Any          # vae/clip params (never differentiated)
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params: Params, frozen: Params, tx: optax.GradientTransformation):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            frozen=frozen,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )

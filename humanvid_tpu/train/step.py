@@ -1,0 +1,148 @@
+"""The jitted training step (shared by stage 1 and stage 2).
+
+Behavioral parity: ``train_stage_1.py:545-677`` / ``train_stage_2.py`` —
+VAE-encode targets + reference, CLIP-embed (with whole-batch CFG dropout at
+``uncond_ratio``), noise-offset noising, ε- or v-prediction target, min-SNR-γ
+weighted MSE, AdamW with grad-norm clip.
+
+Stage differences are data shape (f=1 vs f=24) and the trainability mask
+(``state.stage{1,2}_trainable``); the step function itself is identical.
+
+TPU-first notes:
+- The whole step (frozen encoders included) is one jitted function; batch
+  inputs are sharded over the ``data`` mesh axis and XLA inserts the gradient
+  psum (replacing DDP/NCCL allreduce).
+- The reference's "skip ReferenceNet when uncond" branch
+  (``train_stage_1.py:94-99``) is replaced by always running the writer and
+  masking its features out of the reader's attention (``ref_disable``) — the
+  masked keys get exactly zero gradient, so parameter updates match; there is
+  no data-dependent Python branching inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.schedule import (
+    NoiseSchedule,
+    add_noise,
+    get_velocity,
+    min_snr_weights,
+)
+from ..models.vae import gaussian_sample
+from ..pipelines.system import CamAnimate
+
+Batch = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    uncond_ratio: float = 0.1
+    noise_offset: float = 0.05
+    snr_gamma: float = 5.0
+
+
+def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
+    """Build the per-step loss over (trainable params, frozen params, batch, rng).
+
+    Batch layout:
+        tgt:     (b, f, H, W, 3) in [-1, 1]
+        ref:     (b, H, W, 3) in [-1, 1]
+        clip:    (b, sz, sz, 3) CLIP-normalized
+        pose:    (b, f, H, W, 3) in [0, 1] (reference cond_transform is
+                 ToTensor-only, dance_image_h_v_camera.py:320-326)
+        plucker: (b, f, H, W, 6) raw
+    """
+    scaling = system.config.vae.scaling_factor
+
+    def loss_fn(params, frozen, batch: Batch, rng: jax.Array):
+        b, f = batch["tgt"].shape[:2]
+        H, W = batch["tgt"].shape[2:4]
+        r_noise, r_off, r_t, r_vae1, r_vae2, r_uncond = jax.random.split(rng, 6)
+
+        # --- frozen encoders ---
+        tgt = batch["tgt"].reshape((b * f, H, W, 3))
+        moments = system.vae_encoder.apply(frozen["vae_encoder"], tgt)
+        latents = gaussian_sample(moments, r_vae1) * scaling
+        lat_shape = latents.shape  # (b*f, h8, w8, 4)
+        latents = latents.reshape((b, f) + lat_shape[1:])
+
+        ref_moments = system.vae_encoder.apply(frozen["vae_encoder"], batch["ref"])
+        ref_latents = gaussian_sample(ref_moments, r_vae2) * scaling  # (b, h8, w8, 4)
+
+        image_embeds = system.clip.apply(frozen["clip"], batch["clip"])  # (b, d)
+        uncond = jax.random.bernoulli(r_uncond, cfg.uncond_ratio)  # scalar, whole batch
+        ctx = jnp.where(uncond, 0.0, image_embeds)[:, None, :]  # (b, 1, d)
+
+        # --- noising ---
+        noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+        if cfg.noise_offset > 0:
+            noise = noise + cfg.noise_offset * jax.random.normal(
+                r_off, (b, 1, 1, 1, latents.shape[-1]), latents.dtype
+            )
+        t = jax.random.randint(r_t, (b,), 0, sched.num_train_timesteps)
+        noisy = add_noise(sched, latents, noise, t)
+        if sched.prediction_type == "epsilon":
+            target = noise
+        elif sched.prediction_type == "v_prediction":
+            target = get_velocity(sched, latents, noise, t)
+        else:
+            raise ValueError(sched.prediction_type)
+
+        # --- trainable forward ---
+        _, ref_feats = system.reference_unet.apply(
+            params["reference_unet"], ref_latents, jnp.zeros((b,), jnp.float32),
+            ctx, collect_ref_features=True,
+        )
+        pose_fea = system.pose_guider.apply(
+            params["pose_guider"], batch["pose"].reshape((b * f, H, W, 3))
+        )
+        cam_fea = system.camera_encoder.apply(
+            params["camera_encoder"], batch["plucker"].reshape((b * f, H, W, 6)), f
+        )
+        ref_disable = jnp.broadcast_to(uncond, (b,))
+        pred, _ = system.denoising_unet.apply(
+            params["denoising_unet"],
+            noisy.reshape((b * f,) + lat_shape[1:]),
+            t.astype(jnp.float32),
+            ctx,
+            cond_fea=pose_fea + cam_fea,
+            ref_features=ref_feats,
+            ref_disable=ref_disable,
+            frames=f,
+        )
+        pred = pred.reshape(latents.shape)
+
+        # --- min-SNR weighted MSE (train_stage_1.py:633-654) ---
+        err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        per_sample = err.mean(axis=tuple(range(1, err.ndim)))
+        if cfg.snr_gamma > 0:
+            per_sample = per_sample * min_snr_weights(sched, t, cfg.snr_gamma)
+        loss = per_sample.mean()
+        return loss, {"loss": loss, "t_mean": t.mean()}
+
+    return loss_fn
+
+
+def make_train_step(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
+    loss_fn = make_loss_fn(system, sched, cfg)
+
+    def train_step(state, batch: Batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.frozen, batch, rng
+        )
+        new_state = state.apply_gradients(grads)
+        aux["grad_norm"] = optax_global_norm(grads)
+        return new_state, aux
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

@@ -1,0 +1,210 @@
+"""Stage-1 (pose2img) training driver.
+
+Behavioral parity: reference ``train_stage_1.py`` — same config schema
+(``configs/train/stage1.yaml``), same trainability (denoising UNet without
+motion modules, ReferenceNet except its last up block, PoseGuider,
+CameraPoseEncoder), min-SNR v-prediction loss with CFG dropout and noise
+offset, per-module checkpoints with keep-last-K rotation, per-step
+data/step timing logs with ETA.
+
+TPU-native: one jitted data-parallel train step over a ``data`` mesh (XLA
+emits the gradient psum), bf16 activations with fp32 params, threaded
+prefetch loader.
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from humanvid_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from humanvid_tpu.data import (
+    DatasetConfig,
+    HumanDanceCameraImageDataset,
+    Loader,
+    OrientationBatchSampler,
+)
+from humanvid_tpu.parallel.mesh import make_mesh
+from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
+from humanvid_tpu.train import (
+    OptimizerConfig,
+    TrainConfig,
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    stage1_trainable,
+    stage2_trainable,
+)
+from humanvid_tpu.train.checkpoint import load_checkpoint, save_train_checkpoint
+from humanvid_tpu.utils.config import load_config
+from humanvid_tpu.utils.weights import load_pretrained_params
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+logger = logging.getLogger("train_stage_1")
+
+STAGE = 1
+
+
+def build_dataset(cfg, stage: int):
+    dcfg = DatasetConfig(
+        train_size_large=cfg.data.train_size_large,
+        train_size_small=cfg.data.train_size_small,
+        sample_margin=cfg.data.get("sample_margin", 30),
+        n_sample_frames=cfg.data.get("n_sample_frames", 24),
+        sample_rate=cfg.data.get("sample_rate", 4),
+    )
+    cls = HumanDanceCameraImageDataset
+    if stage == 2:
+        from humanvid_tpu.data import HumanDanceCameraVideoDataset as cls  # noqa: F811
+    return cls(cfg.data.horizontal_meta, cfg.data.vertical_meta, dcfg)
+
+
+def to_train_batch(batch, stage: int):
+    """numpy sample dict -> train-step batch (adds frame axis for stage 1)."""
+    if stage == 1:
+        return {
+            "tgt": batch["tgt"][:, None],      # (b, 1, H, W, 3)
+            "ref": batch["ref"],
+            "clip": batch["clip"],
+            "pose": batch["pose"][:, None],
+            "plucker": batch["plucker"][:, None],
+        }
+    return batch
+
+
+def run_training(stage: int, argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+    cfg = load_config(args.config)
+
+    if cfg.get("seed") is not None:
+        np.random.seed(cfg.seed)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    use_motion = stage == 2
+    system_cfg = CamAnimateConfig(
+        denoising_unet=CamAnimateConfig().denoising_unet
+        if use_motion else CamAnimateConfig().reference_unet,
+        camera_encoder=CamAnimateConfig().camera_encoder.__class__(
+            position_encoding_max_len=16 if stage == 1 else 24
+        ),
+    )
+    system = CamAnimate(system_cfg, dtype=dtype)
+
+    params = load_pretrained_params(system, cfg)
+    if cfg.get("resume_from_checkpoint"):
+        step0 = int(cfg.get("resume_step", 0))
+        for name in ("reference_unet", "denoising_unet", "pose_guider", "camera_encoder"):
+            path = os.path.join(cfg.resume_from_checkpoint, f"{name}-{step0}.msgpack")
+            if os.path.exists(path):
+                params[name] = load_checkpoint(path, params[name])
+                logger.info("resumed %s from %s", name, path)
+    else:
+        step0 = 0
+
+    frozen = {k: params[k] for k in ("vae_encoder", "vae_decoder", "clip")}
+    trainable = {k: params[k] for k in
+                 ("reference_unet", "denoising_unet", "pose_guider", "camera_encoder")}
+    opt_cfg = OptimizerConfig(
+        learning_rate=float(cfg.solver.learning_rate),
+        beta1=cfg.solver.adam_beta1,
+        beta2=cfg.solver.adam_beta2,
+        weight_decay=float(cfg.solver.adam_weight_decay),
+        eps=float(cfg.solver.adam_epsilon),
+        max_grad_norm=cfg.solver.max_grad_norm,
+        warmup_steps=cfg.solver.lr_warmup_steps,
+    )
+    predicate = stage1_trainable if stage == 1 else stage2_trainable
+    tx = make_optimizer(trainable, predicate, opt_cfg)
+    state = TrainState.create(trainable, frozen, tx)
+
+    sched = system.make_schedule()
+    tcfg = TrainConfig(
+        uncond_ratio=cfg.get("uncond_ratio", 0.1),
+        noise_offset=cfg.get("noise_offset", 0.05),
+        snr_gamma=cfg.get("snr_gamma", 5.0),
+    )
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    train_step = jax.jit(
+        make_train_step(system, sched, tcfg),
+        in_shardings=(repl, shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    state = jax.device_put(state, repl)
+
+    dataset = build_dataset(cfg, stage)
+    batch_size = cfg.data.train_bs
+    sampler = OrientationBatchSampler(
+        dataset.num_horizontal, len(dataset) - dataset.num_horizontal,
+        batch_size, seed=cfg.get("seed", 0),
+    )
+    save_dir = os.path.join(cfg.output_dir, cfg.exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    global_step = step0
+    max_steps = cfg.solver.max_train_steps
+    timers = {"data": 0.0, "step": 0.0}
+    epoch = 0
+    t_start = time.time()
+
+    while global_step < max_steps:
+        sampler.set_epoch(epoch)
+        loader = Loader(
+            dataset, sampler, num_workers=cfg.data.get("num_workers", 4),
+            device_put=lambda b: {k: jax.device_put(v, shard) for k, v in b.items()},
+        )
+        t_data = time.time()
+        for batch in loader:
+            batch = to_train_batch(batch, stage)
+            timers["data"] += time.time() - t_data
+            t_step = time.time()
+            state, aux = train_step(state, batch, rng)
+            loss = float(aux["loss"])
+            timers["step"] += time.time() - t_step
+            global_step += 1
+            if global_step % 20 == 0:
+                done = global_step - step0
+                eta = (time.time() - t_start) / done * (max_steps - global_step)
+                logger.info(
+                    "step %d/%d loss %.4f | data %.3fs step %.3fs | ETA %.1f h",
+                    global_step, max_steps, loss,
+                    timers["data"] / done, timers["step"] / done, eta / 3600,
+                )
+            if global_step % cfg.get("checkpointing_steps", 5000) == 0:
+                save_train_checkpoint(
+                    save_dir, jax.device_get(state.params), global_step,
+                    motion_only=(stage == 2),
+                    total_limit=3 if stage == 1 else 10,
+                )
+                logger.info("checkpointed at step %d", global_step)
+            if global_step >= max_steps:
+                break
+            t_data = time.time()
+        epoch += 1
+
+    save_train_checkpoint(
+        save_dir, jax.device_get(state.params), global_step,
+        motion_only=(stage == 2), total_limit=None,
+    )
+    logger.info("training done at step %d", global_step)
+
+
+if __name__ == "__main__":
+    run_training(STAGE)

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humanvid_tpu.ops.attention import MultiHeadAttention, dot_product_attention
+from humanvid_tpu.ops.conv import pixel_shuffle, pixel_unshuffle
+from humanvid_tpu.ops.embeddings import (
+    sinusoidal_positional_encoding,
+    sinusoidal_timestep_embedding,
+)
+
+
+def test_timestep_embedding_matches_numpy():
+    t = jnp.array([0.0, 1.0, 500.0, 999.0])
+    emb = sinusoidal_timestep_embedding(t, 320)
+    assert emb.shape == (4, 320)
+    # t=0: sin part = 0, cos part = 1 (flip_sin_to_cos => [cos|sin])
+    np.testing.assert_allclose(emb[0, :160], 1.0, atol=1e-6)
+    np.testing.assert_allclose(emb[0, 160:], 0.0, atol=1e-6)
+    # known value: first frequency is 1.0 => cos(t), sin(t)
+    np.testing.assert_allclose(float(emb[1, 0]), np.cos(1.0), rtol=1e-5)
+    np.testing.assert_allclose(float(emb[1, 160]), np.sin(1.0), rtol=1e-5)
+
+
+def test_positional_encoding_interleaved():
+    pe = sinusoidal_positional_encoding(24, 320)
+    assert pe.shape == (24, 320)
+    np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-7)  # sin(0)
+    np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-7)  # cos(0)
+    np.testing.assert_allclose(float(pe[1, 0]), np.sin(1.0), rtol=1e-6)
+    np.testing.assert_allclose(float(pe[1, 1]), np.cos(1.0), rtol=1e-6)
+
+
+def test_pixel_unshuffle_roundtrip_and_order():
+    x = jnp.arange(1 * 4 * 4 * 2, dtype=jnp.float32).reshape(1, 4, 4, 2)
+    y = pixel_unshuffle(x, 2)
+    assert y.shape == (1, 2, 2, 8)
+    np.testing.assert_array_equal(pixel_shuffle(y, 2), x)
+    # torch PixelUnshuffle channel order: c*r*r + dy*r + dx
+    # output[0,0,0, c*4 + dy*2 + dx] == x[0, dy, dx, c]
+    for c in range(2):
+        for dy in range(2):
+            for dx in range(2):
+                assert float(y[0, 0, 0, c * 4 + dy * 2 + dx]) == float(x[0, dy, dx, c])
+
+
+def _naive_attention(q, k, v, bias=None):
+    scale = q.shape[-1] ** -0.5
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def test_dot_product_attention_matches_naive():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 4, 16, 8)).astype(np.float32)
+    k = rng.normal(size=(2, 4, 24, 8)).astype(np.float32)
+    v = rng.normal(size=(2, 4, 24, 8)).astype(np.float32)
+    out = dot_product_attention(jnp.array(q), jnp.array(k), jnp.array(v))
+    np.testing.assert_allclose(np.asarray(out), _naive_attention(q, k, v), atol=1e-5)
+
+
+def test_mha_extra_kv_disable_equals_subset_attention():
+    """Masked extra-KV == attention restricted to self tokens (the CFG-uncond path)."""
+    mha = MultiHeadAttention(query_dim=32, heads=4, head_dim=8)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 10, 32))
+    ref = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 32))
+    params = mha.init(jax.random.PRNGKey(2), x, extra_kv=ref)
+
+    disable_all = jnp.ones((4,), bool)
+    out_masked = mha.apply(params, x, extra_kv=ref, extra_kv_disable=disable_all)
+    out_self = mha.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_self), atol=1e-5)
+
+    # rows with disable=False must differ from self-only attention
+    disable_none = jnp.zeros((4,), bool)
+    out_full = mha.apply(params, x, extra_kv=ref, extra_kv_disable=disable_none)
+    assert not np.allclose(np.asarray(out_full), np.asarray(out_self), atol=1e-4)
+
+    # mixed mask: row 0 disabled matches self-only; row 1 enabled matches full
+    mixed = jnp.array([True, False, True, False])
+    out_mixed = mha.apply(params, x, extra_kv=ref, extra_kv_disable=mixed)
+    np.testing.assert_allclose(np.asarray(out_mixed[0]), np.asarray(out_self[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_mixed[1]), np.asarray(out_full[1]), atol=1e-5)
+
+
+def test_mha_cross_attention_shapes():
+    mha = MultiHeadAttention(query_dim=64, heads=8, head_dim=8, context_dim=768)
+    x = jnp.zeros((2, 12, 64))
+    ctx = jnp.zeros((2, 1, 768))
+    params = mha.init(jax.random.PRNGKey(0), x, context=ctx)
+    out = mha.apply(params, x, context=ctx)
+    assert out.shape == (2, 12, 64)
