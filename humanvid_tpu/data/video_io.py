@@ -1,9 +1,11 @@
-"""Host-side video IO (cv2/ffmpeg backend).
+"""Host-side video IO.
 
 Replaces the reference's decord/PyAV stack (``src/utils/util.py:82-197``,
-dataset decode paths) with OpenCV, which is what this image ships. API parity:
-``read_frames``, ``get_fps``, ``save_video``, ``save_videos_grid`` (orientation
-aware). All arrays are (f, H, W, 3) RGB uint8 or float in [0, 1].
+dataset decode paths). Preferred backend: the in-tree native libav core
+(``humanvid_tpu/native/videodec.cpp`` via ``data.native_video``) — exact
+frame indexing, frame-threaded decode, GIL-free. Fallback: OpenCV. API
+parity: ``read_frames``, ``get_fps``, ``save_video``, ``save_videos_grid``
+(orientation aware). All arrays are (f, H, W, 3) RGB uint8 or float in [0, 1].
 """
 
 from __future__ import annotations
@@ -21,12 +23,28 @@ except Exception:  # pragma: no cover
     HAS_CV2 = False
 
 
+def _native():
+    """The native libav backend module, or None if it can't build/load."""
+    try:
+        from ..native import available
+        if available():
+            from . import native_video
+            return native_video
+    except Exception:  # pragma: no cover
+        pass
+    return None
+
+
 def _require_cv2():
     if not HAS_CV2:
         raise RuntimeError("OpenCV (cv2) is required for video IO but is unavailable")
 
 
 def get_fps(path: str) -> float:
+    nv = _native()
+    if nv is not None:
+        with nv.VideoReader(path) as r:
+            return r.fps or 24.0
     _require_cv2()
     cap = cv2.VideoCapture(path)
     try:
@@ -36,6 +54,10 @@ def get_fps(path: str) -> float:
 
 
 def get_frame_count(path: str) -> int:
+    nv = _native()
+    if nv is not None:
+        with nv.VideoReader(path) as r:
+            return len(r)
     _require_cv2()
     cap = cv2.VideoCapture(path)
     try:
@@ -54,6 +76,12 @@ def read_frames(
     ``indices`` enables random access (sorted-seek decode); otherwise all
     frames up to ``max_frames`` stream sequentially.
     """
+    nv = _native()
+    if nv is not None:
+        with nv.VideoReader(path) as r:
+            if indices is not None:
+                return r.get_batch(indices)
+            return r.read_all(max_frames)
     _require_cv2()
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -87,13 +115,20 @@ def read_frames(
         cap.release()
 
 
-def save_video(frames: np.ndarray, path: str, fps: float = 24.0) -> None:
-    """(f, H, W, 3) RGB uint8 or float[0,1] -> mp4."""
-    _require_cv2()
+def save_video(frames: np.ndarray, path: str, fps: float = 24.0,
+               crf: int = 19) -> None:
+    """(f, H, W, 3) RGB uint8 or float[0,1] -> mp4 (x264 crf 19, parity with
+    reference ``src/utils/util.py:103``; cv2 mp4v fallback)."""
     if frames.dtype != np.uint8:
         frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     h, w = frames.shape[1:3]
+    nv = _native()
+    if nv is not None:
+        with nv.VideoWriter(path, w, h, fps=fps, crf=crf) as writer:
+            writer.write(frames)
+        return
+    _require_cv2()
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     try:
         for f in frames:
