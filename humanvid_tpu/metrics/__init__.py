@@ -10,4 +10,6 @@ __all__ = [
     "frechet_distance",
     "frechet_from_features",
     "frame_consistency",
+    # heavier pieces import lazily: .inception (FID), .i3d (FVD), .lpips,
+    # .runner (directory evaluation driver)
 ]

@@ -61,6 +61,17 @@ def _maybe_convert(params, path: str, kind: str, strict: bool = False):
     return new, True
 
 
+def load_msgpack_tree(path: str, target: Any = None) -> Any:
+    """Load a flax-serialized pytree; structure-free restore when no target."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is None:
+        return serialization.msgpack_restore(data)
+    return serialization.from_bytes(target, data)
+
+
 def load_pretrained_params(system, cfg) -> Dict[str, Any]:
     """Initialize params then overwrite from configured checkpoint paths."""
     params = system.init_params(jax.random.PRNGKey(0), 64, 64, frames=2)

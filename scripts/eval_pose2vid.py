@@ -1,0 +1,129 @@
+"""Stage-2 quantitative evaluation: generate test clips for offline FID/FVD.
+
+Behavioral parity: reference ``scripts/eval_pose2vid.py`` — per test clip,
+generate a 24-frame stride-3 video (``:242-250``) with the reference frame
+taken from the middle of the clip (``:261``), save generated and GT videos
+side by side; then run ``humanvid_tpu.metrics.runner`` (or the reference's
+metrics/ drivers) over the two directories.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from humanvid_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from humanvid_tpu.data.camera import (
+    get_relative_pose,
+    intrinsics_vector,
+    load_cameras,
+    ray_condition,
+    static_camera,
+)
+from humanvid_tpu.data.datasets import _camera_file
+from humanvid_tpu.data.video_io import read_frames, resize_frames, save_video
+from humanvid_tpu.pipelines import CamAnimate, CamAnimateConfig, Pose2VideoPipeline
+from humanvid_tpu.utils.config import load_config
+from humanvid_tpu.utils.weights import load_pretrained_params
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--test_meta", required=True)
+    p.add_argument("-W", type=int, default=512)
+    p.add_argument("-H", type=int, default=896)
+    p.add_argument("-L", type=int, default=24)
+    p.add_argument("--stride", type=int, default=3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cfg", type=float, default=3.5)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--output_dir", default="./output/eval_pose2vid")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--run_metrics", action="store_true",
+                   help="run frame metrics over gen/gt dirs after generation")
+    return p.parse_args()
+
+
+def main():
+    import cv2
+
+    args = parse_args()
+    cfg = load_config(args.config)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    params = load_pretrained_params(system, cfg)
+    pipe = Pose2VideoPipeline(system, params)
+
+    with open(args.test_meta) as f:
+        meta = json.load(f)
+
+    gen_dir = os.path.join(args.output_dir, "gen")
+    gt_dir = os.path.join(args.output_dir, "gt")
+    os.makedirs(gen_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+
+    for entry in meta:
+        video_path, kps_path = entry["video_path"], entry["kps_path"]
+        start = entry.get("start_frame", 0)
+        end = entry["end_frame"]
+        span = (args.L - 1) * args.stride + 1
+        clip_start = start if end - start >= span else start
+        tgt_idx = [min(clip_start + i * args.stride, end - 1) for i in range(args.L)]
+        ref_idx = tgt_idx[len(tgt_idx) // 2]  # middle frame (":261")
+
+        gt_frames = read_frames(video_path, indices=tgt_idx)
+        ref_raw = read_frames(video_path, indices=[ref_idx])[0]
+        pose_frames = read_frames(kps_path, indices=tgt_idx)
+
+        h, w = gt_frames.shape[1:3]
+        if w > h:
+            W, H = max(args.W, args.H), min(args.W, args.H)
+        else:
+            W, H = min(args.W, args.H), max(args.W, args.H)
+
+        gt = resize_frames(gt_frames, W, H).astype(np.float32) / 255.0
+        ref = resize_frames(ref_raw[None], W, H)[0].astype(np.float32) / 255.0
+        pose = resize_frames(pose_frames, W, H).astype(np.float32) / 255.0
+        clip_raw = cv2.resize(ref_raw, (224, 224)).astype(np.float32) / 255.0
+
+        cam_file = _camera_file(video_path)
+        if os.path.exists(cam_file):
+            cams = load_cameras(cam_file, (W, H))
+        else:
+            cams = static_camera((W, H), max(tgt_idx) + 1)
+        sel = [cams[ref_idx]] + [cams[i] for i in tgt_idx]
+        K = intrinsics_vector(sel[1:], (W, H))
+        c2w = get_relative_pose(sel)[1:]
+        plucker = ray_condition(K, c2w, H, W)
+
+        rng, sub = jax.random.split(rng)
+        out = pipe(ref, pose, plucker, clip_raw,
+                   num_inference_steps=args.steps, guidance_scale=args.cfg,
+                   rng=sub)
+        name = os.path.splitext(os.path.basename(video_path))[0]
+        save_video(out.videos[0], os.path.join(gen_dir, f"{name}.mp4"), fps=8.0)
+        save_video(gt, os.path.join(gt_dir, f"{name}.mp4"), fps=8.0)
+        print(f"generated {name}.mp4 ({args.L} frames)")
+
+    if args.run_metrics:
+        from humanvid_tpu.metrics.runner import evaluate_dirs
+        result = evaluate_dirs(
+            gen_dir, gt_dir, out_json=os.path.join(args.output_dir, "metrics.json")
+        )
+        print("metrics:", result)
+
+
+if __name__ == "__main__":
+    main()
