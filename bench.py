@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from humanvid_tpu.ops.attention import set_default_attention_backend
+
+# Pallas flash attention for the 6k-token spatial sequences (einsum logits at
+# this op-point would need ~116 GB HBM); einsum for tiny temporal/cross attn.
+set_default_attention_backend("auto")
+
 H, W, F = 768, 512, 24
 STEPS = 30
 GUIDANCE = 3.5

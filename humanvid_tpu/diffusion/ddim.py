@@ -85,7 +85,15 @@ def ddim_step(
     prev_t: jnp.ndarray,
     sample: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One deterministic DDIM update (eta=0): x_t -> x_{prev_t}."""
-    x0, eps = ddim_pred_x0_eps(sched, model_output, sample, t)
+    """One deterministic DDIM update (eta=0): x_t -> x_{prev_t}.
+
+    Scheduler math runs in fp32 regardless of the model dtype (zero-SNR /
+    v-prediction fidelity dominates FVD, SURVEY §7.3); the result is cast
+    back to the sample dtype so scan carries keep a stable type.
+    """
+    dtype = sample.dtype
+    x0, eps = ddim_pred_x0_eps(
+        sched, model_output.astype(jnp.float32), sample.astype(jnp.float32), t
+    )
     a_prev = _alpha_at(sched, prev_t)
-    return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+    return (jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps).astype(dtype)

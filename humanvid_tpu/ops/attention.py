@@ -28,14 +28,18 @@ from flax import linen as nn
 
 NEG_INF = -1e9  # large-but-finite; avoids NaNs if a row were fully masked
 
-# Module-level switch: "xla" | "flash". Tests pin "xla"; production uses flash
-# for the big spatial sequences (set by pipelines via `use_flash_attention`).
+# Module-level switch: "xla" | "flash" | "auto". Tests pin "xla"; TPU entry
+# points use "auto": the Pallas flash kernel for long spatial sequences (where
+# materialized logits would blow HBM — e.g. f32[48,8,6144,12288] ≈ 116 GB at
+# 768x512x24f), einsum for the tiny temporal/cross sequences where kernel
+# padding to the 128-lane tile would dominate.
 _DEFAULT_BACKEND = "xla"
+_FLASH_MIN_QLEN = 1024
 
 
 def set_default_attention_backend(backend: str) -> None:
     global _DEFAULT_BACKEND
-    assert backend in ("xla", "flash"), backend
+    assert backend in ("xla", "flash", "auto"), backend
     _DEFAULT_BACKEND = backend
 
 
@@ -64,6 +68,8 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (B, H, L, D) tensors."""
     backend = backend or _DEFAULT_BACKEND
+    if backend == "auto":
+        backend = "flash" if q.shape[2] >= _FLASH_MIN_QLEN else "xla"
     if backend == "flash":
         from .flash_attention import flash_attention  # local import: pallas optional
 

@@ -38,7 +38,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_kv: int, kv_len: int, scale: float):
-    # q_ref: (1, block_q, d); k_ref/v_ref: (1, Lk_pad, d); bias_ref: (1, Lk_pad)
+    # q_ref: (1, block_q, d); k_ref/v_ref: (1, Lk_pad, d); bias_ref: (1, 1, Lk_pad)
     q = q_ref[0].astype(jnp.float32) * scale
     block_q, d = q.shape
     num_kv = kv_len // block_kv
@@ -50,7 +50,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_kv: int, kv_len: 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_kv)
-        b = bias_ref[0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
+        b = bias_ref[0, 0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
         logits = logits + b[None, :]
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)       # (bq, 1)
@@ -83,7 +83,10 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
     qp = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
-    bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)), constant_values=NEG_INF)
+    # (BH, 1, Lk_pad): the singleton middle dim satisfies the TPU block-shape
+    # rule (block dims must divide (8, 128) or equal the array dims).
+    bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
+                   constant_values=NEG_INF)[:, None, :]
 
     grid = (bh, lq_pad // block_q)
     out = pl.pallas_call(
@@ -93,7 +96,7 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
             pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, lk_pad, d_pad), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, lk_pad, d_pad), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, lk_pad), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, lk_pad), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),

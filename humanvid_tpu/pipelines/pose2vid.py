@@ -210,6 +210,8 @@ class Pose2VideoPipeline:
         context_overlap: int = 4,
         rng: Optional[jax.Array] = None,
         decode_chunk: int = 1,
+        interpolation_rate: int = 1,
+        interpolation_mode: str = "slerp",
     ) -> Pose2VideoOutput:
         from ..models.clip_vision import clip_preprocess
 
@@ -244,6 +246,14 @@ class Pose2VideoPipeline:
             params, latents, ctx, ref_feats, pose_fea, plk,
             windows, ddim.timesteps, ddim.prev_timesteps,
         )
+        if interpolation_rate > 1:
+            # temporal latent upsampling before decode (reference
+            # pipeline_pose2vid_long.py:294-337,576-577)
+            from .interpolation import interpolate_latents
+            latents = interpolate_latents(latents, interpolation_rate,
+                                          interpolation_mode)
+            if latents.shape[0] % decode_chunk != 0:
+                decode_chunk = 1
         video = decode_latents(system, params, latents, frame_chunk=decode_chunk)
         return Pose2VideoOutput(
             videos=np.asarray(video, np.float32)[None],

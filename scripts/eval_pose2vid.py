@@ -18,6 +18,10 @@ from humanvid_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
+from humanvid_tpu.ops.attention import set_default_attention_backend
+
+set_default_attention_backend("auto")  # pallas flash attn for long spatial seqs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

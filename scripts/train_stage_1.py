@@ -87,6 +87,8 @@ def run_training(stage: int, argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--profile_dir", default=None,
+                   help="capture an XLA device trace of steps 10-12 here")
     args = p.parse_args(argv)
     cfg = load_config(args.config)
 
@@ -160,9 +162,10 @@ def run_training(stage: int, argv=None):
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     global_step = step0
     max_steps = cfg.solver.max_train_steps
-    timers = {"data": 0.0, "step": 0.0}
+    from humanvid_tpu.utils.profiling import StepTimers
+    timers = StepTimers(max_steps, log_every=20, log=logger)
     epoch = 0
-    t_start = time.time()
+    profiling = False
 
     while global_step < max_steps:
         sampler.set_epoch(epoch)
@@ -173,20 +176,19 @@ def run_training(stage: int, argv=None):
         t_data = time.time()
         for batch in loader:
             batch = to_train_batch(batch, stage)
-            timers["data"] += time.time() - t_data
-            t_step = time.time()
-            state, aux = train_step(state, batch, rng)
-            loss = float(aux["loss"])
-            timers["step"] += time.time() - t_step
+            timers.acc["data"] += time.time() - t_data
+            if args.profile_dir and global_step - step0 == 10 and not profiling:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
+            with timers.segment("step"):
+                state, aux = train_step(state, batch, rng)
+                loss = float(aux["loss"])  # blocks: device step completes here
+            if profiling and global_step - step0 >= 12:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("device trace written to %s", args.profile_dir)
             global_step += 1
-            if global_step % 20 == 0:
-                done = global_step - step0
-                eta = (time.time() - t_start) / done * (max_steps - global_step)
-                logger.info(
-                    "step %d/%d loss %.4f | data %.3fs step %.3fs | ETA %.1f h",
-                    global_step, max_steps, loss,
-                    timers["data"] / done, timers["step"] / done, eta / 3600,
-                )
+            timers.step(global_step, loss=loss)
             if global_step % cfg.get("checkpointing_steps", 5000) == 0:
                 save_train_checkpoint(
                     save_dir, jax.device_get(state.params), global_step,

@@ -1,0 +1,119 @@
+"""Auxiliary subsystems: latent interpolation, meta tools, visualization,
+profiling timers."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_slerp_endpoints_and_midpoint():
+    from humanvid_tpu.pipelines.interpolation import slerp
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), np.asarray(a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 1.0)), np.asarray(b), atol=1e-5)
+    # parallel vectors -> linear fallback
+    np.testing.assert_allclose(
+        np.asarray(slerp(a, a * 1.0 + 0.0, 0.5)), np.asarray(a), atol=1e-5)
+
+
+def test_interpolate_latents_layout():
+    from humanvid_tpu.pipelines.interpolation import interpolate_latents
+
+    f, rate = 4, 3
+    lat = jnp.arange(f, dtype=jnp.float32)[:, None, None, None] * jnp.ones((1, 2, 2, 1))
+    out = interpolate_latents(lat, rate, mode="linear")
+    assert out.shape[0] == f + (f - 1) * (rate - 1)
+    vals = np.asarray(out)[:, 0, 0, 0]
+    # linear interpolation of a ramp is a finer ramp
+    np.testing.assert_allclose(vals, np.linspace(0, f - 1, len(vals)), atol=1e-5)
+
+
+def test_interpolate_rate1_identity():
+    from humanvid_tpu.pipelines.interpolation import interpolate_latents
+
+    lat = jnp.ones((3, 2, 2, 4))
+    assert interpolate_latents(lat, 1) is lat
+
+
+def _write_clip(path, f=12, h=48, w=64):
+    from humanvid_tpu.data.video_io import save_video
+
+    rng = np.random.default_rng(0)
+    save_video(rng.random((f, h, w, 3)).astype(np.float32), str(path), fps=6.0)
+
+
+def test_meta_tools_roundtrip(tmp_path):
+    from humanvid_tpu.data.meta_tools import (
+        extract_meta, merge_meta, save_meta, segment_meta, split_by_orientation,
+    )
+
+    videos = tmp_path / "src" / "videos"
+    dwpose = tmp_path / "src" / "dwpose"
+    camera = tmp_path / "src" / "camera"
+    for d in (videos, dwpose, camera):
+        d.mkdir(parents=True)
+    _write_clip(videos / "a.mp4")
+    _write_clip(dwpose / "a.mp4")
+    (camera / "a.txt").write_text(
+        "\n".join("0 0 0 0 0 0 0 1 1.0 1.788 1.0" for _ in range(12)) + "\n")
+    # clip with no kps sibling -> skipped
+    _write_clip(videos / "b.mp4")
+
+    entries = extract_meta(str(videos))
+    assert len(entries) == 1 and entries[0]["end_frame"] == 12
+
+    segs = segment_meta(entries, segment_seconds=1.0, min_frames=5)
+    assert all(e["end_frame"] - e["start_frame"] >= 5 for e in segs)
+
+    split = split_by_orientation(entries)
+    assert len(split["horizontal"]) == 1 and not split["vertical"]
+
+    p1 = tmp_path / "m1.json"
+    save_meta(entries, str(p1))
+    merged = merge_meta([str(p1), str(p1)], str(tmp_path / "m.json"))
+    assert len(merged) == 2
+
+
+def test_visualization_pca_and_composite(tmp_path):
+    from humanvid_tpu.data.visualization import pca_visualize, sample_composite, to_image
+
+    rng = np.random.default_rng(0)
+    plk = rng.normal(size=(2, 16, 16, 6)).astype(np.float32)
+    rgb = pca_visualize(plk)
+    assert rgb.shape == (2, 16, 16, 3) and rgb.dtype == np.uint8
+
+    img = to_image(rng.normal(size=(3, 8, 8)).astype(np.float32))
+    assert img.shape == (8, 8, 3)
+
+    sample = {
+        "ref": rng.normal(size=(16, 16, 3)).astype(np.float32),
+        "tgt": rng.normal(size=(16, 16, 3)).astype(np.float32),
+        "pose": rng.random((16, 16, 3)).astype(np.float32),
+        "plucker": plk[0],
+    }
+    row = sample_composite(sample, str(tmp_path / "s.png"))
+    assert row.ndim == 3 and os.path.exists(tmp_path / "s.png")
+
+
+def test_step_timers_accumulate(caplog):
+    import logging
+
+    from humanvid_tpu.utils.profiling import StepTimers
+
+    t = StepTimers(total_steps=100, log_every=2)
+    with t.segment("data"):
+        pass
+    with t.segment("step"):
+        pass
+    with caplog.at_level(logging.INFO, logger="humanvid_tpu.utils.profiling"):
+        t.step(1, loss=0.5)   # not logged (1 % 2)
+        t.step(2, loss=0.25)  # logged
+    assert t.averages().keys() == {"data", "step"}
+    assert any("step 2/100" in r.getMessage() for r in caplog.records)
