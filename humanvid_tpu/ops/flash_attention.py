@@ -37,37 +37,46 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_kv: int, kv_len: int, scale: float):
-    # q_ref: (1, block_q, d); k_ref/v_ref: (1, Lk_pad, d); bias_ref: (1, 1, Lk_pad)
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
+                *, scale: float):
+    """Grid (bh, q_blocks, kv_blocks); kv is the innermost (sequential) dim.
+
+    Blocks: q (1, block_q, d), k/v (1, block_kv, d), bias (1, 1, block_kv).
+    Online-softmax state (acc, m, l) lives in VMEM scratch and persists across
+    the kv iterations of one (bh, q_block); only one KV block is resident at a
+    time, so VMEM stays bounded for any Lk and head dim.
+    """
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    num_kv = kv_len // block_kv
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_kv)
+    logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :]
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_kv)
-        b = bias_ref[0, 0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
-        logits = logits + b[None, :]
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)       # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                            # (bq, bkv)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(j == num_kv - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
@@ -88,18 +97,26 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
     bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                    constant_values=NEG_INF)[:, None, :]
 
-    grid = (bh, lq_pad // block_q)
+    grid = (bh, lq_pad // block_q, lk_pad // block_kv)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_kv=block_kv, kv_len=lk_pad, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, lk_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(qp, kp, vp, bias)
     return out[:, :lq, :d]
 

@@ -76,10 +76,27 @@ def _denoise_scan(
     timesteps: jnp.ndarray,      # (S,)
     prev_timesteps: jnp.ndarray, # (S,)
     guidance_scale: float,
+    mesh=None,
+    window_axis: str = "data",
 ):
     S, W, F = windows.shape
     do_cfg = guidance_scale > 1.0
     cfg_mult = 2 if do_cfg else 1
+
+    if mesh is not None:
+        # Shard the window-batch (CFG x windows) axis across chips: the
+        # reference's serial inner window loop (pipeline_pose2vid_long.py:514)
+        # becomes the parallel axis; XLA inserts the all-reduce for the
+        # overlap scatter-add below. Requires (cfg_mult * W) % n_devices == 0.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard_rows(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(window_axis, *([None] * (x.ndim - 1))))
+            )
+    else:
+        def shard_rows(x):
+            return x
 
     # context per window-batch row: [uncond]*W + [cond]*W
     if do_cfg:
@@ -93,6 +110,8 @@ def _denoise_scan(
         ctx_b = jnp.repeat(ctx, W, 0)
         feats_b = tuple(jnp.repeat(f, W, 0) for f in ref_feats)
         ref_disable = None
+    ctx_b = shard_rows(ctx_b)
+    feats_b = tuple(shard_rows(f) for f in feats_b)
 
     def step_fn(latents, scan_in):
         win, t, prev_t = scan_in  # win: (W, F)
@@ -112,6 +131,7 @@ def _denoise_scan(
         if do_cfg:
             x = jnp.concatenate([x, x], axis=0)
             cond = jnp.concatenate([cond, cond], axis=0)
+        x, cond = shard_rows(x), shard_rows(cond)
 
         t_b = jnp.broadcast_to(t.astype(jnp.float32), (cfg_mult * W,))
         eps, _ = system.denoising_unet.apply(
@@ -173,11 +193,19 @@ def _decode_scan(system: CamAnimate, frame_chunk: int):
 
 
 class Pose2VideoPipeline:
-    """Host-side orchestration around the jitted denoise scan."""
+    """Host-side orchestration around the jitted denoise scan.
 
-    def __init__(self, system: CamAnimate, params: Params):
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
+    CFG x window batch is sharded across its devices (the reference's serial
+    window loop turned into the multi-chip axis, SURVEY §2.9). Requires the
+    per-step window count x CFG multiple to divide the device count evenly
+    for clean sharding.
+    """
+
+    def __init__(self, system: CamAnimate, params: Params, mesh=None):
         self.system = system
         self.params = params
+        self.mesh = mesh
         self.sched = system.make_schedule()
         self._jit_cache = {}
 
@@ -185,13 +213,13 @@ class Pose2VideoPipeline:
         """Jitted denoise scan, cached per guidance scale (shapes handled by jit)."""
         key = float(guidance_scale)
         if key not in self._jit_cache:
-            system, sched = self.system, self.sched
+            system, sched, mesh = self.system, self.sched, self.mesh
 
             @partial(jax.jit, donate_argnums=(1,))
             def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
                 return _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
-                    windows, ts, pts, guidance_scale,
+                    windows, ts, pts, guidance_scale, mesh=mesh,
                 )
 
             self._jit_cache[key] = fn

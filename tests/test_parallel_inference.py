@@ -1,0 +1,54 @@
+"""Multi-chip inference: window-batch sharding over a CPU device mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from humanvid_tpu.parallel.mesh import make_mesh
+from humanvid_tpu.pipelines import CamAnimate, Pose2VideoPipeline, tiny_config
+from humanvid_tpu.data.camera import (
+    get_relative_pose,
+    intrinsics_vector,
+    ray_condition,
+    static_camera,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    system = CamAnimate(tiny_config(motion_max_len=8))
+    H = W = 64
+    params = system.init_params(jax.random.PRNGKey(0), H, W, frames=2)
+    F = 12  # context 8, overlap 4 -> 3 windows/step -> CFG x 3 = 6 rows
+    rng = np.random.default_rng(0)
+    ref = rng.random((H, W, 3)).astype(np.float32)
+    pose = rng.random((F, H, W, 3)).astype(np.float32)
+    clip = rng.random((28, 28, 3)).astype(np.float32)
+    cams = static_camera((W, H), F + 1)
+    K = intrinsics_vector(cams[1:], (W, H))
+    c2w = get_relative_pose(cams)[1:]
+    plucker = ray_condition(K, c2w, H, W)
+    return system, params, ref, pose, plucker, clip
+
+
+def _run(pipe, setup, **kw):
+    _, _, ref, pose, plucker, clip = setup
+    return pipe(ref, pose, plucker, clip, num_inference_steps=2,
+                guidance_scale=3.5, context_frames=8, context_overlap=4,
+                rng=jax.random.PRNGKey(7), **kw)
+
+
+def test_sharded_matches_single_device(setup):
+    system, params = setup[0], setup[1]
+    baseline = _run(Pose2VideoPipeline(system, params), setup)
+
+    mesh = make_mesh(2)  # 6 window-batch rows % 2 == 0
+    sharded = _run(Pose2VideoPipeline(system, params, mesh=mesh), setup)
+
+    assert sharded.videos.shape == baseline.videos.shape
+    np.testing.assert_allclose(sharded.latents, baseline.latents, atol=2e-4)
+    np.testing.assert_allclose(sharded.videos, baseline.videos, atol=2e-3)
+
+
+def test_sharded_uses_multiple_devices(setup):
+    assert len(jax.devices()) >= 2, "conftest must force an 8-device CPU mesh"
