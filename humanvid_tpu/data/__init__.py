@@ -16,6 +16,10 @@ from .datasets import (
 from .loader import Loader, collate
 from .samplers import OrientationBatchSampler
 
+# heavier / optional pieces import lazily: .native_video (C++ libav core),
+# .meta_tools (meta-info builders), .visualization (matplotlib plots),
+# .pose_draw (skeleton rasterizer)
+
 __all__ = [
     "Camera",
     "camera_file_to_plucker",

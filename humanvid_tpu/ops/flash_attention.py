@@ -140,12 +140,43 @@ def _flash_vjp_fwd(q, k, v, key_bias, block_q, block_kv):
 
 
 def _flash_vjp_bwd(block_q, block_kv, res, g):
+    """Recompute-based backward, scanned over q chunks so peak memory is
+    O(BH * block * Lk) instead of the full O(BH * Lq * Lk) logits tensor
+    (at 512x896 training shapes the full logits would be tens of GB)."""
     q, k, v, key_bias = res
-    # recompute-based backward through the XLA reference (memory: one q-block
-    # at a time would be the kernel version; XLA fuses this acceptably today)
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_bias), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+    chunk = min(512, lq)
+    pad = (-lq) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
+    gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
+    n = qp.shape[1] // chunk
+    q_chunks = qp.reshape(bh, n, chunk, d).transpose(1, 0, 2, 3)
+    g_chunks = gp.reshape(bh, n, chunk, d).transpose(1, 0, 2, 3)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    bias = key_bias[:, None, :].astype(jnp.float32)  # (bh, 1, lk)
+    # padded q rows see all -inf bias... keep them finite: their grads are
+    # multiplied by zero g anyway, so plain softmax over real keys is fine.
+
+    def step(carry, qg):
+        dk_acc, dv_acc = carry
+        qc, gc = qg  # (bh, chunk, d)
+        logits = jnp.einsum("bqd,bkd->bqk", qc * scale, kf) + bias
+        p = jax.nn.softmax(logits, axis=-1)
+        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, gc)
+        dp = jnp.einsum("bqd,bkd->bqk", gc, vf)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq_c = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, qc) * scale
+        return (dk_acc, dv_acc), dq_c
+
+    zeros = jnp.zeros((bh, lk, d), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(step, (zeros, zeros), (q_chunks, g_chunks))
+    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, n * chunk, d)[:, :lq]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -1,0 +1,74 @@
+"""Pallas flash attention: interpret-mode forward parity and the chunked
+backward (runs on CPU via the TPU interpreter)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from humanvid_tpu.ops.flash_attention import _xla_reference, flash_attention
+
+
+def _make(b=2, h=2, lq=192, lk=384, d=24, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, h, lq, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, lk, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, lk, d), dtype)
+    # per-key bias: second half of keys disabled for row 0 (the CFG pattern)
+    key_is_extra = jnp.arange(lk) >= lq
+    row_disabled = jnp.arange(b) == 0
+    bias = jnp.where(row_disabled[:, None] & key_is_extra[None, :], -1e9, 0.0)
+    return q, k, v, bias[:, None, None, :].astype(jnp.float32)
+
+
+def test_flash_forward_matches_reference_interpret():
+    q, k, v, bias = _make()
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, bias, block_q=128, block_kv=128)
+    b, h = q.shape[:2]
+    ref = _xla_reference(
+        q.reshape(-1, *q.shape[2:]), k.reshape(-1, *k.shape[2:]),
+        v.reshape(-1, *v.shape[2:]),
+        jnp.repeat(bias[:, 0, 0, :], h, axis=0),
+    ).reshape(q.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_forward_unpadded_tail_interpret():
+    # lq/lk not multiples of the block sizes exercises the padding path
+    q, k, v, bias = _make(lq=100, lk=150)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, bias, block_q=128, block_kv=128)
+    b, h = q.shape[:2]
+    ref = _xla_reference(
+        q.reshape(-1, *q.shape[2:]), k.reshape(-1, *k.shape[2:]),
+        v.reshape(-1, *v.shape[2:]),
+        jnp.repeat(bias[:, 0, 0, :], h, axis=0),
+    ).reshape(q.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_matches_einsum_grads():
+    """The q-chunked recompute backward must equal full einsum-attention
+    gradients (chunk size forced smaller than lq)."""
+    q, k, v, bias = _make(b=1, h=2, lq=96, lk=160, d=16)
+
+    def loss_flash(q_, k_, v_):
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q_, k_, v_, bias, block_q=128, block_kv=128)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q_, k_, v_):
+        h = q_.shape[1]
+        out = _xla_reference(
+            q_.reshape(-1, *q_.shape[2:]), k_.reshape(-1, *k_.shape[2:]),
+            v_.reshape(-1, *v_.shape[2:]),
+            jnp.repeat(bias[:, 0, 0, :], h, axis=0),
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
