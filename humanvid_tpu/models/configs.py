@@ -53,6 +53,11 @@ class UNetConfig:
     motion_position_encoding: bool = True
     motion_max_len: int = 32
 
+    # Activation checkpointing (reference stage 2 grad-ckpt,
+    # configs/train/stage2.yaml:18 / unet_3d_blocks.py:409-434): remat each
+    # resnet/spatial/motion block so only block boundaries are saved.
+    gradient_checkpointing: bool = False
+
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * self.time_embed_dim_mult

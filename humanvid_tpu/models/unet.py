@@ -52,7 +52,10 @@ class UNetConditionModel(nn.Module):
 
     def _motion(self, dim: int, name: str) -> TemporalTransformer:
         cfg = self.config
-        return TemporalTransformer(
+        # nn.remat static_argnums count self as 0; frames is arg 2
+        cls = (nn.remat(TemporalTransformer, static_argnums=(2,))
+               if cfg.gradient_checkpointing else TemporalTransformer)
+        return cls(
             dim=dim,
             heads=cfg.motion_num_heads,
             depth=cfg.motion_transformer_blocks,
@@ -66,7 +69,9 @@ class UNetConditionModel(nn.Module):
 
     def _spatial(self, dim: int, name: str) -> SpatialTransformer:
         cfg = self.config
-        return SpatialTransformer(
+        cls = (nn.remat(SpatialTransformer, static_argnums=(3,))
+               if cfg.gradient_checkpointing else SpatialTransformer)
+        return cls(
             dim=dim,
             heads=cfg.attention_heads,
             depth=cfg.transformer_layers,
@@ -78,7 +83,8 @@ class UNetConditionModel(nn.Module):
 
     def _resnet(self, dim: int, name: str) -> ResnetBlock:
         cfg = self.config
-        return ResnetBlock(
+        cls = nn.remat(ResnetBlock) if cfg.gradient_checkpointing else ResnetBlock
+        return cls(
             out_channels=dim,
             norm_eps=cfg.norm_eps,
             groups=cfg.norm_num_groups,
@@ -131,10 +137,8 @@ class UNetConditionModel(nn.Module):
             if ref_features is not None:
                 ref_in = ref_features[consume_idx[0]]
                 consume_idx[0] += 1
-            x, bank = st(
-                x, context, frames=frames,
-                ref_feature=ref_in, ref_disable=ref_disable,
-            )
+            # positional call: nn.remat static_argnums needs positional args
+            x, bank = st(x, context, frames, ref_in, ref_disable)
             if collect_ref_features:
                 collected.append(bank)
             return x

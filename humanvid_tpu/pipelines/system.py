@@ -85,16 +85,23 @@ def tiny_config(motion_max_len: int = 8) -> "CamAnimateConfig":
 class CamAnimate:
     """Module bundle with a single params dict {component_name: params}."""
 
-    def __init__(self, config: CamAnimateConfig = CamAnimateConfig(), dtype=jnp.float32):
+    def __init__(self, config: CamAnimateConfig = CamAnimateConfig(),
+                 dtype=jnp.float32, param_dtype=None):
+        """``param_dtype=None`` stores params in ``dtype`` (bf16 weights for
+        inference — SD1.5-scale fp32 params plus their bf16 cast copies do not
+        fit 16 GB HBM); training passes ``param_dtype=jnp.float32`` for fp32
+        masters with bf16 activations."""
         self.config = config
         self.dtype = dtype
-        self.reference_unet = UNetConditionModel(config=config.reference_unet, dtype=dtype)
-        self.denoising_unet = UNetConditionModel(config=config.denoising_unet, dtype=dtype)
-        self.pose_guider = PoseGuider(config=config.pose_guider, dtype=dtype)
-        self.camera_encoder = CameraPoseEncoder(config=config.camera_encoder, dtype=dtype)
-        self.vae_encoder = VAEEncoder(config=config.vae, dtype=dtype)
-        self.vae_decoder = VAEDecoder(config=config.vae, dtype=dtype)
-        self.clip = CLIPVisionEncoder(config=config.clip, dtype=dtype)
+        self.param_dtype = param_dtype if param_dtype is not None else dtype
+        kw = dict(dtype=dtype, param_dtype=self.param_dtype)
+        self.reference_unet = UNetConditionModel(config=config.reference_unet, **kw)
+        self.denoising_unet = UNetConditionModel(config=config.denoising_unet, **kw)
+        self.pose_guider = PoseGuider(config=config.pose_guider, **kw)
+        self.camera_encoder = CameraPoseEncoder(config=config.camera_encoder, **kw)
+        self.vae_encoder = VAEEncoder(config=config.vae, **kw)
+        self.vae_decoder = VAEDecoder(config=config.vae, **kw)
+        self.clip = CLIPVisionEncoder(config=config.clip, **kw)
 
     def make_schedule(self, prediction_type: Optional[str] = None) -> NoiseSchedule:
         c = self.config

@@ -40,6 +40,10 @@ class OptimizerConfig:
     max_grad_norm: float = 1.0
     warmup_steps: int = 0
     lr_schedule: str = "constant"
+    # reference: accelerator.accumulate(net) with
+    # cfg.solver.gradient_accumulation_steps (train_stage_1.py:547); here an
+    # optax.MultiSteps wrapper accumulates k microbatch grads per update.
+    gradient_accumulation_steps: int = 1
 
 
 def _path_str(path) -> str:
@@ -97,9 +101,12 @@ def make_optimizer(
         ),
     )
     labels = trainability_mask(params, predicate)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, labels
     )
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+    return tx
 
 
 class TrainState(struct.PyTreeNode):

@@ -97,14 +97,20 @@ def run_training(stage: int, argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     use_motion = stage == 2
+    import dataclasses as _dc
+    grad_ckpt = bool(cfg.solver.get("enable_gradient_checkpointing", False))
+    base = CamAnimateConfig()
     system_cfg = CamAnimateConfig(
-        denoising_unet=CamAnimateConfig().denoising_unet
-        if use_motion else CamAnimateConfig().reference_unet,
-        camera_encoder=CamAnimateConfig().camera_encoder.__class__(
+        denoising_unet=_dc.replace(
+            base.denoising_unet if use_motion else base.reference_unet,
+            gradient_checkpointing=grad_ckpt,
+        ),
+        camera_encoder=base.camera_encoder.__class__(
             position_encoding_max_len=16 if stage == 1 else 24
         ),
     )
-    system = CamAnimate(system_cfg, dtype=dtype)
+    # fp32 master params with (by default) bf16 activations
+    system = CamAnimate(system_cfg, dtype=dtype, param_dtype=jnp.float32)
 
     params = load_pretrained_params(system, cfg)
     if cfg.get("resume_from_checkpoint"):
@@ -128,6 +134,8 @@ def run_training(stage: int, argv=None):
         eps=float(cfg.solver.adam_epsilon),
         max_grad_norm=cfg.solver.max_grad_norm,
         warmup_steps=cfg.solver.lr_warmup_steps,
+        gradient_accumulation_steps=cfg.solver.get(
+            "gradient_accumulation_steps", 1),
     )
     predicate = stage1_trainable if stage == 1 else stage2_trainable
     tx = make_optimizer(trainable, predicate, opt_cfg)
