@@ -70,6 +70,38 @@ def build_dataset(cfg, stage: int):
     return cls(cfg.data.horizontal_meta, cfg.data.vertical_meta, dcfg)
 
 
+def log_validation(pipe, params, batch, out_dir: str, step: int) -> None:
+    """Render the first sample of the current batch through the stage-1
+    sampler and save a ref|pose|gen|tgt grid.
+
+    Reference parity: ``train_stage_1.py:142-221`` — the reference's version
+    is bit-rotted (missing camera_embedding, wrong result key, SURVEY §4);
+    this is the working equivalent, fed from live training data instead of a
+    fixed directory.
+    """
+    import cv2
+
+    from humanvid_tpu.data.datasets import CLIP_MEAN, CLIP_STD
+
+    pipe.params = params
+    tgt = np.asarray(batch["tgt"][0], np.float32)
+    tgt = tgt[0] if tgt.ndim == 4 else tgt  # stage-2 batches carry frames
+    ref = (np.asarray(batch["ref"][0], np.float32) + 1.0) / 2.0
+    pose = np.asarray(batch["pose"][0], np.float32)
+    pose = pose[0] if pose.ndim == 4 else pose
+    plucker = np.asarray(batch["plucker"][0], np.float32)
+    plucker = plucker[0] if plucker.ndim == 4 else plucker
+    clip_raw = np.clip(
+        np.asarray(batch["clip"][0], np.float32) * CLIP_STD + CLIP_MEAN, 0, 1)
+
+    out = pipe(ref, pose, plucker, clip_raw, num_inference_steps=20,
+               guidance_scale=3.5, rng=jax.random.PRNGKey(step))
+    grid = np.concatenate([ref, pose, out.images[0], (tgt + 1.0) / 2.0], axis=1)
+    os.makedirs(out_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(out_dir, f"val_{step}.png"),
+                cv2.cvtColor((grid * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+
+
 def to_train_batch(batch, stage: int):
     """numpy sample dict -> train-step batch (adds frame axis for stage 1)."""
     if stage == 1:
@@ -99,14 +131,21 @@ def run_training(stage: int, argv=None):
     use_motion = stage == 2
     import dataclasses as _dc
     grad_ckpt = bool(cfg.solver.get("enable_gradient_checkpointing", False))
-    base = CamAnimateConfig()
-    system_cfg = CamAnimateConfig(
+    if cfg.get("model") == "tiny":  # smoke tests / CI
+        from humanvid_tpu.pipelines.system import tiny_config
+        base = tiny_config(motion_max_len=cfg.get("n_sample_frames", 8))
+    else:
+        base = CamAnimateConfig()
+    system_cfg = _dc.replace(
+        base,
         denoising_unet=_dc.replace(
             base.denoising_unet if use_motion else base.reference_unet,
             gradient_checkpointing=grad_ckpt,
         ),
-        camera_encoder=base.camera_encoder.__class__(
-            position_encoding_max_len=16 if stage == 1 else 24
+        camera_encoder=_dc.replace(
+            base.camera_encoder,
+            position_encoding_max_len=(16 if stage == 1 else 24)
+            if cfg.get("model") != "tiny" else base.camera_encoder.position_encoding_max_len,
         ),
     )
     # fp32 master params with (by default) bf16 activations
@@ -171,7 +210,11 @@ def run_training(stage: int, argv=None):
     global_step = step0
     max_steps = cfg.solver.max_train_steps
     from humanvid_tpu.utils.profiling import StepTimers
+    from humanvid_tpu.utils.tracker import Tracker
     timers = StepTimers(max_steps, log_every=20, log=logger)
+    tracker = Tracker(os.path.join(save_dir, "run"), config=dict(cfg))
+    val_steps = cfg.get_path("val.validation_steps", 0) or 0
+    val_pipe = None
     epoch = 0
     profiling = False
 
@@ -197,6 +240,18 @@ def run_training(stage: int, argv=None):
                 logger.info("device trace written to %s", args.profile_dir)
             global_step += 1
             timers.step(global_step, loss=loss)
+            if global_step % 20 == 0:
+                tracker.log(global_step, loss=loss,
+                            grad_norm=float(aux["grad_norm"]))
+            if val_steps and global_step % val_steps == 0:
+                from humanvid_tpu.pipelines import Pose2ImagePipeline
+                if val_pipe is None:
+                    val_pipe = Pose2ImagePipeline(system, None)
+                log_validation(
+                    val_pipe, {**jax.device_get(state.params), **frozen},
+                    batch, os.path.join(save_dir, "validation"), global_step,
+                )
+                logger.info("validation render at step %d", global_step)
             if global_step % cfg.get("checkpointing_steps", 5000) == 0:
                 save_train_checkpoint(
                     save_dir, jax.device_get(state.params), global_step,
@@ -213,6 +268,7 @@ def run_training(stage: int, argv=None):
         save_dir, jax.device_get(state.params), global_step,
         motion_only=(stage == 2), total_limit=None,
     )
+    tracker.close()
     logger.info("training done at step %d", global_step)
 
 
