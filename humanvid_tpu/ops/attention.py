@@ -59,6 +59,26 @@ def _xla_attention(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(dtype)
 
 
+def _chunked_xla_attention(q, k, v, bias, chunk: int = 1024):
+    """Memory-bounded einsum attention: a lax.scan over q chunks keeps live
+    logits at O(B*H*chunk*Lk) instead of O(B*H*Lq*Lk). Pure-XLA fallback for
+    long sequences when the Pallas kernel is unavailable/untrusted."""
+    b, h, lq, d = q.shape
+    if lq <= chunk:
+        return _xla_attention(q, k, v, bias)
+    pad = (-lq) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n = qp.shape[2] // chunk
+    q_chunks = jnp.moveaxis(qp.reshape(b, h, n, chunk, d), 2, 0)
+
+    def step(_, qc):
+        return None, _xla_attention(qc, k, v, bias)
+
+    _, out = jax.lax.scan(step, None, q_chunks)  # (n, b, h, chunk, d)
+    out = jnp.moveaxis(out, 0, 2).reshape(b, h, n * chunk, d)
+    return out[:, :, :lq]
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -69,11 +89,16 @@ def dot_product_attention(
     """Scaled dot-product attention over (B, H, L, D) tensors."""
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
-        backend = "flash" if q.shape[2] >= _FLASH_MIN_QLEN else "xla"
+        import os
+
+        long_backend = os.environ.get("HVT_LONG_ATTENTION", "flash")
+        backend = long_backend if q.shape[2] >= _FLASH_MIN_QLEN else "xla"
     if backend == "flash":
         from .flash_attention import flash_attention  # local import: pallas optional
 
         return flash_attention(q, k, v, bias)
+    if backend == "chunked":
+        return _chunked_xla_attention(q, k, v, bias)
     return _xla_attention(q, k, v, bias)
 
 

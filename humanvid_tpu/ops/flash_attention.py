@@ -55,12 +55,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # MXU: keep operands in their storage dtype (bf16 runs at full systolic
+    # rate; upcasting first would force the ~4x slower fp32 path) and
+    # accumulate in fp32 via preferred_element_type.
+    q = q_ref[0] * q_ref.dtype.type(scale)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_kv)
+        q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_kv) fp32
     logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :]
 
     m_prev, l_prev = m_ref[:], l_ref[:]
@@ -71,7 +72,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == num_kv - 1)
