@@ -225,6 +225,44 @@ class Pose2VideoPipeline:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
+    def _denoise_decode_fn(self, guidance_scale: float, decode_chunk: int,
+                           interpolation_rate: int, interpolation_mode: str):
+        """Denoise scan + latent interpolation + chunked VAE decode fused into
+        ONE executable: XLA plans HBM for the whole program (two separately
+        compiled executables of this size can exceed/fragment device memory),
+        and the decode overlaps scheduling with the scan epilogue."""
+        key = (float(guidance_scale), decode_chunk, interpolation_rate,
+               interpolation_mode)
+        if key not in self._jit_cache:
+            system, sched, mesh = self.system, self.sched, self.mesh
+            scale = 1.0 / system.config.vae.scaling_factor
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
+                latents = _denoise_scan(
+                    system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
+                    windows, ts, pts, guidance_scale, mesh=mesh,
+                )
+                dec_in = latents
+                if interpolation_rate > 1:
+                    from .interpolation import _interpolate_jit
+                    dec_in = _interpolate_jit(dec_in, interpolation_rate,
+                                              interpolation_mode)
+                f = dec_in.shape[0]
+                chunk = decode_chunk if f % decode_chunk == 0 else 1
+                chunks = dec_in.reshape((f // chunk, chunk) + dec_in.shape[1:])
+
+                def dec(_, z):
+                    return None, system.vae_decoder.apply(
+                        params["vae_decoder"], z * scale)
+
+                _, imgs = jax.lax.scan(dec, None, chunks)
+                imgs = imgs.reshape((f,) + imgs.shape[2:])
+                return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0), latents
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
     def __call__(
         self,
         ref_image: np.ndarray,     # (H, W, 3) in [0, 1]
@@ -270,19 +308,12 @@ class Pose2VideoPipeline:
         pose_fea = system.pose_guider.apply(params["pose_guider"], pose)
         latents = jax.random.normal(rng, (f, h8, w8, 4), dtype)
 
-        latents = self._denoise_fn(guidance_scale)(
+        video, latents = self._denoise_decode_fn(
+            guidance_scale, decode_chunk, interpolation_rate, interpolation_mode
+        )(
             params, latents, ctx, ref_feats, pose_fea, plk,
             windows, ddim.timesteps, ddim.prev_timesteps,
         )
-        if interpolation_rate > 1:
-            # temporal latent upsampling before decode (reference
-            # pipeline_pose2vid_long.py:294-337,576-577)
-            from .interpolation import interpolate_latents
-            latents = interpolate_latents(latents, interpolation_rate,
-                                          interpolation_mode)
-            if latents.shape[0] % decode_chunk != 0:
-                decode_chunk = 1
-        video = decode_latents(system, params, latents, frame_chunk=decode_chunk)
         return Pose2VideoOutput(
             videos=np.asarray(video, np.float32)[None],
             latents=np.asarray(latents, np.float32),
