@@ -82,45 +82,53 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
 
 
 def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
-    """q: (BH, Lq, D) k/v: (BH, Lk, D) key_bias: (BH, Lk) -> (BH, Lq, D)."""
+    """q: (BH, Lq, D) k/v: (BH, Lk, D) key_bias: (BH, Lk) -> (BH, Lq, D).
+
+    Only the sequence axes are padded to block multiples (often a no-op for
+    the SD latent shapes). The head dim stays LOGICAL — a block's last dim may
+    equal the full array dim, and Mosaic pads the lanes in VMEM — so no 3x
+    HBM copies of q/k/v for d=40/80 heads (a multi-GB transient per attention
+    layer inside the denoise scan at batch 48).
+    """
     bh, lq, d = q.shape
     lk = k.shape[1]
-    scale = d ** -0.5  # scale by the LOGICAL head dim, before padding
+    scale = d ** -0.5
 
-    d_pad = _ceil_to(d, 128)
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_kv)
-
-    qp = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, 0)))
+        key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
+                           constant_values=NEG_INF)
     # (BH, 1, Lk_pad): the singleton middle dim satisfies the TPU block-shape
     # rule (block dims must divide (8, 128) or equal the array dims).
-    bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
-                   constant_values=NEG_INF)[:, None, :]
+    bias = key_bias[:, None, :]
 
     grid = (bh, lq_pad // block_q, lk_pad // block_kv)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qp, kp, vp, bias)
-    return out[:, :lq, :d]
+    )(q, k, v, bias)
+    return out[:, :lq] if lq_pad != lq else out
 
 
 def _xla_reference(q, k, v, key_bias):
