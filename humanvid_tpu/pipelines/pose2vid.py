@@ -78,10 +78,15 @@ def _denoise_scan(
     guidance_scale: float,
     mesh=None,
     window_axis: str = "data",
+    cfg_mode: str = "batched",
 ):
     S, W, F = windows.shape
     do_cfg = guidance_scale > 1.0
-    cfg_mult = 2 if do_cfg else 1
+    sequential_cfg = do_cfg and cfg_mode == "sequential" and mesh is None
+    if sequential_cfg:
+        cfg_mult = 1  # two UNet passes of W windows each instead of one of 2W
+    else:
+        cfg_mult = 2 if do_cfg else 1
 
     if mesh is not None:
         # Shard the window-batch (CFG x windows) axis across chips: the
@@ -98,20 +103,27 @@ def _denoise_scan(
         def shard_rows(x):
             return x
 
-    # context per window-batch row: [uncond]*W + [cond]*W
-    if do_cfg:
+    # context per window-batch row: [uncond]*W + [cond]*W (batched CFG), or
+    # separate W-row banks for the sequential mode.
+    if sequential_cfg:
+        ctx_u = jnp.repeat(ctx[:1], W, 0)
+        ctx_c = jnp.repeat(ctx[1:], W, 0)
+        feats_u = tuple(jnp.repeat(f[:1], W, 0) for f in ref_feats)
+        feats_c = tuple(jnp.repeat(f[1:], W, 0) for f in ref_feats)
+        dis_u = jnp.ones((W,), bool)
+    elif do_cfg:
         ctx_b = jnp.concatenate([jnp.repeat(ctx[:1], W, 0), jnp.repeat(ctx[1:], W, 0)], 0)
         feats_b = tuple(
             jnp.concatenate([jnp.repeat(f[:1], W, 0), jnp.repeat(f[1:], W, 0)], 0)
             for f in ref_feats
         )
         ref_disable = jnp.concatenate([jnp.ones((W,), bool), jnp.zeros((W,), bool)])
+        ctx_b = shard_rows(ctx_b)
+        feats_b = tuple(shard_rows(f) for f in feats_b)
     else:
-        ctx_b = jnp.repeat(ctx, W, 0)
-        feats_b = tuple(jnp.repeat(f, W, 0) for f in ref_feats)
+        ctx_b = shard_rows(jnp.repeat(ctx, W, 0))
+        feats_b = tuple(shard_rows(jnp.repeat(f, W, 0)) for f in ref_feats)
         ref_disable = None
-    ctx_b = shard_rows(ctx_b)
-    feats_b = tuple(shard_rows(f) for f in feats_b)
 
     def step_fn(latents, scan_in):
         win, t, prev_t = scan_in  # win: (W, F)
@@ -128,20 +140,35 @@ def _denoise_scan(
         cond = pose_w.reshape(cam_w.shape) + cam_w  # ((W F), h8, w8, c0)
 
         x = lat_w.reshape((W * F, h8, w8, lat_w.shape[-1]))
-        if do_cfg:
-            x = jnp.concatenate([x, x], axis=0)
-            cond = jnp.concatenate([cond, cond], axis=0)
-        x, cond = shard_rows(x), shard_rows(cond)
 
-        t_b = jnp.broadcast_to(t.astype(jnp.float32), (cfg_mult * W,))
-        eps, _ = system.denoising_unet.apply(
-            params["denoising_unet"], x, t_b, ctx_b,
-            cond_fea=cond, ref_features=feats_b, ref_disable=ref_disable, frames=F,
-        )  # ((cfg W F), h8, w8, 4)
-        eps = eps.reshape((cfg_mult, W, F, h8, w8, eps.shape[-1]))
+        def unet(xb, ctxb, featsb, disable, rows):
+            t_b = jnp.broadcast_to(t.astype(jnp.float32), (rows,))
+            eps, _ = system.denoising_unet.apply(
+                params["denoising_unet"], xb, t_b, ctxb,
+                cond_fea=(jnp.concatenate([cond, cond], 0)
+                          if rows == 2 * W else cond),
+                ref_features=featsb, ref_disable=disable, frames=F,
+            )
+            return eps
+
+        if sequential_cfg:
+            # two W-row passes halve peak activation memory vs one 2W pass
+            eps_u = unet(x, ctx_u, feats_u, dis_u, W)
+            eps_c = unet(x, ctx_c, feats_c, None, W)
+            eps = jnp.stack([
+                eps_u.reshape((W, F, h8, w8, eps_u.shape[-1])),
+                eps_c.reshape((W, F, h8, w8, eps_c.shape[-1])),
+            ])  # (2, W, F, ...)
+            n_banks = 2
+        else:
+            xb = jnp.concatenate([x, x], 0) if do_cfg else x
+            xb = shard_rows(xb)
+            eps = unet(xb, ctx_b, feats_b, ref_disable, cfg_mult * W)
+            eps = eps.reshape((cfg_mult, W, F, h8, w8, eps.shape[-1]))
+            n_banks = cfg_mult
 
         # overlap accumulation (reference :550-556)
-        zero = jnp.zeros((cfg_mult,) + latents.shape, eps.dtype)
+        zero = jnp.zeros((n_banks,) + latents.shape, eps.dtype)
         noise_sum = zero.at[:, win].add(eps)
         counter = jnp.zeros(latents.shape[0], eps.dtype).at[win.reshape(-1)].add(1.0)
         noise_avg = noise_sum / counter[None, :, None, None, None]
@@ -226,13 +253,14 @@ class Pose2VideoPipeline:
         return self._jit_cache[key]
 
     def _denoise_decode_fn(self, guidance_scale: float, decode_chunk: int,
-                           interpolation_rate: int, interpolation_mode: str):
+                           interpolation_rate: int, interpolation_mode: str,
+                           cfg_mode: str):
         """Denoise scan + latent interpolation + chunked VAE decode fused into
         ONE executable: XLA plans HBM for the whole program (two separately
         compiled executables of this size can exceed/fragment device memory),
         and the decode overlaps scheduling with the scan epilogue."""
         key = (float(guidance_scale), decode_chunk, interpolation_rate,
-               interpolation_mode)
+               interpolation_mode, cfg_mode)
         if key not in self._jit_cache:
             system, sched, mesh = self.system, self.sched, self.mesh
             scale = 1.0 / system.config.vae.scaling_factor
@@ -242,6 +270,7 @@ class Pose2VideoPipeline:
                 latents = _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
                     windows, ts, pts, guidance_scale, mesh=mesh,
+                    cfg_mode=cfg_mode,
                 )
                 dec_in = latents
                 if interpolation_rate > 1:
@@ -278,6 +307,7 @@ class Pose2VideoPipeline:
         decode_chunk: int = 1,
         interpolation_rate: int = 1,
         interpolation_mode: str = "slerp",
+        cfg_mode: str = "batched",
     ) -> Pose2VideoOutput:
         from ..models.clip_vision import clip_preprocess
 
@@ -309,7 +339,8 @@ class Pose2VideoPipeline:
         latents = jax.random.normal(rng, (f, h8, w8, 4), dtype)
 
         video, latents = self._denoise_decode_fn(
-            guidance_scale, decode_chunk, interpolation_rate, interpolation_mode
+            guidance_scale, decode_chunk, interpolation_rate, interpolation_mode,
+            cfg_mode,
         )(
             params, latents, ctx, ref_feats, pose_fea, plk,
             windows, ddim.timesteps, ddim.prev_timesteps,
