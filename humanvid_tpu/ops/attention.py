@@ -92,6 +92,11 @@ def dot_product_attention(
         import os
 
         long_backend = os.environ.get("HVT_LONG_ATTENTION", "flash")
+        if long_backend == "flash" and q.shape[-1] > 256:
+            # huge head dims (the VAE's single 512-wide head) get the chunked
+            # XLA path: one 512-wide kv block saturates VMEM headroom in the
+            # pallas kernel and has been implicated in device faults here
+            long_backend = "chunked"
         backend = long_backend if q.shape[2] >= _FLASH_MIN_QLEN else "xla"
     if backend == "flash":
         from .flash_attention import flash_attention  # local import: pallas optional

@@ -115,8 +115,22 @@ class CamAnimate:
         )
 
     def init_params(self, rng: jax.Array, height: int = 64, width: int = 64,
-                    frames: int = 2) -> Params:
-        """Random parameters with the right structure (tests / benchmarks)."""
+                    frames: int = 2, abstract: bool = False) -> Params:
+        """Random parameters with the right structure (tests / benchmarks).
+
+        ``abstract=True`` traces the initializers without compiling or
+        materializing anything and returns zero-filled host arrays — the tree
+        STRUCTURE for checkpoint conversion/restoration, available in seconds
+        where a real full-scale init costs minutes of XLA compilation.
+        """
+        if abstract:
+            import functools
+
+            import numpy as np
+
+            shapes = jax.eval_shape(functools.partial(
+                self.init_params, rng, height, width, frames))
+            return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
         c = self.config
         keys = jax.random.split(rng, 7)
         h8, w8 = height // 8, width // 8

@@ -72,9 +72,14 @@ def load_msgpack_tree(path: str, target: Any = None) -> Any:
     return serialization.from_bytes(target, data)
 
 
-def load_pretrained_params(system, cfg) -> Dict[str, Any]:
-    """Initialize params then overwrite from configured checkpoint paths."""
-    params = system.init_params(jax.random.PRNGKey(0), 64, 64, frames=2)
+def load_pretrained_params(system, cfg, abstract: bool = False) -> Dict[str, Any]:
+    """Initialize params then overwrite from configured checkpoint paths.
+
+    ``abstract=True`` skips the real init (zero-filled host trees): structure
+    for conversion tools where un-checkpointed leaves don't matter.
+    """
+    params = system.init_params(jax.random.PRNGKey(0), 64, 64, frames=2,
+                                abstract=abstract)
     get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: getattr(cfg, k, d)
 
     def sub(path_key, component, kind):
