@@ -59,11 +59,16 @@ def _xla_attention(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _chunked_xla_attention(q, k, v, bias, chunk: int = 1024):
+def _chunked_xla_attention(q, k, v, bias, chunk: Optional[int] = None,
+                           logits_budget_bytes: int = 1 << 30):
     """Memory-bounded einsum attention: a lax.scan over q chunks keeps live
     logits at O(B*H*chunk*Lk) instead of O(B*H*Lq*Lk). Pure-XLA fallback for
     long sequences when the Pallas kernel is unavailable/untrusted."""
     b, h, lq, d = q.shape
+    if chunk is None:
+        # keep the fp32 logits block under the budget (default 1 GB)
+        lk = k.shape[2]
+        chunk = max(128, min(lq, logits_budget_bytes // max(b * h * lk * 4, 1)))
     if lq <= chunk:
         return _xla_attention(q, k, v, bias)
     pad = (-lq) % chunk

@@ -308,6 +308,7 @@ class Pose2VideoPipeline:
         interpolation_rate: int = 1,
         interpolation_mode: str = "slerp",
         cfg_mode: str = "batched",
+        device_output: bool = False,
     ) -> Pose2VideoOutput:
         from ..models.clip_vision import clip_preprocess
 
@@ -337,6 +338,11 @@ class Pose2VideoPipeline:
         ctx, ref_feats = _encode_reference(system, params, ref_img, clip_img, do_cfg)
         pose_fea = system.pose_guider.apply(params["pose_guider"], pose)
         latents = jax.random.normal(rng, (f, h8, w8, 4), dtype)
+        # hard barrier before the big fused program: on the axon remote backend,
+        # launching it while the eager encode ops are still in flight crashes
+        # the TPU worker ("UNAVAILABLE ... kernel fault"); the sync costs
+        # microseconds on healthy backends
+        jax.block_until_ready((ctx, ref_feats, pose_fea, latents))
 
         video, latents = self._denoise_decode_fn(
             guidance_scale, decode_chunk, interpolation_rate, interpolation_mode,
@@ -345,6 +351,10 @@ class Pose2VideoPipeline:
             params, latents, ctx, ref_feats, pose_fea, plk,
             windows, ddim.timesteps, ddim.prev_timesteps,
         )
+        if device_output:
+            # leave results on device (callers measuring device throughput or
+            # feeding downstream device work); videos keeps the batch axis
+            return Pose2VideoOutput(videos=video[None], latents=latents)
         return Pose2VideoOutput(
             videos=np.asarray(video, np.float32)[None],
             latents=np.asarray(latents, np.float32),
