@@ -42,6 +42,7 @@ class Loader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: List[BaseException] = []
 
         def produce():
             try:
@@ -52,6 +53,8 @@ class Loader:
                         if self.device_put is not None:
                             batch = self.device_put(batch)
                         q.put(batch)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -60,5 +63,7 @@ class Loader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item

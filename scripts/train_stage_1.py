@@ -56,13 +56,14 @@ logger = logging.getLogger("train_stage_1")
 STAGE = 1
 
 
-def build_dataset(cfg, stage: int):
+def build_dataset(cfg, stage: int, clip_size: int = 224):
     dcfg = DatasetConfig(
         train_size_large=cfg.data.train_size_large,
         train_size_small=cfg.data.train_size_small,
         sample_margin=cfg.data.get("sample_margin", 30),
         n_sample_frames=cfg.data.get("n_sample_frames", 24),
         sample_rate=cfg.data.get("sample_rate", 4),
+        clip_size=clip_size,
     )
     cls = HumanDanceCameraImageDataset
     if stage == 2:
@@ -186,7 +187,18 @@ def run_training(stage: int, argv=None):
         noise_offset=cfg.get("noise_offset", 0.05),
         snr_gamma=cfg.get("snr_gamma", 5.0),
     )
-    mesh = make_mesh()
+    # data-parallel mesh: the batch axis must divide evenly across devices;
+    # shrink to the largest compatible device count (with a warning) instead
+    # of failing (e.g. smoke tests with bs=2 on an 8-device virtual CPU mesh)
+    import math
+    batch_size = cfg.data.train_bs
+    n_dev = len(jax.devices())
+    n_mesh = math.gcd(batch_size, n_dev)
+    if n_mesh < n_dev:
+        logger.warning(
+            "train_bs=%d not divisible by %d devices; using a %d-device mesh",
+            batch_size, n_dev, n_mesh)
+    mesh = make_mesh(n_mesh)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     train_step = jax.jit(
@@ -197,8 +209,7 @@ def run_training(stage: int, argv=None):
     )
     state = jax.device_put(state, repl)
 
-    dataset = build_dataset(cfg, stage)
-    batch_size = cfg.data.train_bs
+    dataset = build_dataset(cfg, stage, clip_size=system.config.clip.image_size)
     sampler = OrientationBatchSampler(
         dataset.num_horizontal, len(dataset) - dataset.num_horizontal,
         batch_size, seed=cfg.get("seed", 0),
@@ -247,8 +258,11 @@ def run_training(stage: int, argv=None):
                 from humanvid_tpu.pipelines import Pose2ImagePipeline
                 if val_pipe is None:
                     val_pipe = Pose2ImagePipeline(system, None)
+                # read from the live state: the jitted step donates its input
+                # state, so earlier host-side param dicts point at deleted
+                # device buffers
                 log_validation(
-                    val_pipe, {**jax.device_get(state.params), **frozen},
+                    val_pipe, {**state.params, **state.frozen},
                     batch, os.path.join(save_dir, "validation"), global_step,
                 )
                 logger.info("validation render at step %d", global_step)
