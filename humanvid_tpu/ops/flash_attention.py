@@ -37,14 +37,15 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
-                *, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale: float):
     """Grid (bh, q_blocks, kv_blocks); kv is the innermost (sequential) dim.
 
     Blocks: q (1, block_q, d), k/v (1, block_kv, d), bias (1, 1, block_kv).
     Online-softmax state (acc, m, l) lives in VMEM scratch and persists across
     the kv iterations of one (bh, q_block); only one KV block is resident at a
-    time, so VMEM stays bounded for any Lk and head dim.
+    time, so VMEM stays bounded for any Lk and head dim. The per-row
+    log-sum-exp is emitted for the backward kernels.
     """
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -79,9 +80,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
     @pl.when(j == num_kv - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
 
 
-def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
+def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int,
+               with_lse: bool = False):
     """q: (BH, Lq, D) k/v: (BH, Lk, D) key_bias: (BH, Lk) -> (BH, Lq, D).
 
     Only the sequence axes are padded to block multiples (often a no-op for
@@ -89,6 +92,9 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
     equal the full array dim, and Mosaic pads the lanes in VMEM — so no 3x
     HBM copies of q/k/v for d=40/80 heads (a multi-GB transient per attention
     layer inside the denoise scan at batch 48).
+
+    ``with_lse=True`` also returns the per-row log-sum-exp (BH, Lq) fp32
+    (the residual the backward kernels need).
     """
     bh, lq, d = q.shape
     lk = k.shape[1]
@@ -108,7 +114,7 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
     bias = key_bias[:, None, :]
 
     grid = (bh, lq_pad // block_q, lk_pad // block_kv)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
@@ -117,8 +123,14 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
             pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -128,7 +140,11 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v, bias)
-    return out[:, :lq] if lq_pad != lq else out
+    out = out[:, :lq] if lq_pad != lq else out
+    if with_lse:
+        lse = lse[:, 0, :lq] if lq_pad != lq else lse[:, 0]
+        return out, lse
+    return out
 
 
 def _xla_reference(q, k, v, key_bias):
@@ -139,17 +155,196 @@ def _xla_reference(q, k, v, key_bias):
     return jnp.einsum("bqk,bkd->bqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    """Grid (bh, kv_blocks, q_blocks); q innermost (sequential).
+
+    Recomputes p from (q, k, bias, lse) — no O(Lq*Lk) residual — and
+    accumulates dk/dv for one kv block across all q blocks in VMEM scratch.
+    """
+    j = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # (block_q, d)
+    logits = jax.lax.dot_general(
+        q * q_ref.dtype.type(scale), k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_kv)
+    logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :]
+    p = jnp.exp(logits - lse_ref[0, 0][:, None])  # (block_q, block_kv)
+
+    g = g_ref[0]  # (block_q, d)
+    # dv += p^T g
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = g v^T ; ds = p * (dp - delta)
+    dp = jax.lax.dot_general(
+        g, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None])  # fp32 (block_q, block_kv)
+    # dk += ds^T q * scale
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(j == num_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc, *, scale: float):
+    """Grid (bh, q_blocks, kv_blocks); kv innermost (sequential)."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    logits = jax.lax.dot_general(
+        q * q_ref.dtype.type(scale), k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :]
+    p = jnp.exp(logits - lse_ref[0, 0][:, None])
+    dp = jax.lax.dot_general(
+        g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None])
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, *, block_q: int,
+                      block_kv: int):
+    """Fused Pallas backward: (dq, dk, dv) via the FlashAttention-2 split —
+    one kernel accumulating dk/dv per kv block, one accumulating dq per q
+    block; peak memory O(block_q * block_kv), everything recomputed from the
+    fp32 per-row log-sum-exp saved by the forward."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+
+    lq_pad = _ceil_to(lq, block_q)
+    lk_pad = _ceil_to(lk, block_kv)
+    if lq_pad != lq:
+        pad = ((0, 0), (0, lq_pad - lq), (0, 0))
+        q = jnp.pad(q, pad)
+        g = jnp.pad(g, pad)
+        out = jnp.pad(out, pad)
+        # padded q rows: finite lse keeps exp() well-defined; their g rows are
+        # zero so they contribute nothing to dk/dv, and their dq is sliced off
+        lse = jnp.pad(lse, ((0, 0), (0, lq_pad - lq)))
+    if lk_pad != lk:
+        pad = ((0, 0), (0, lk_pad - lk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
+                           constant_values=NEG_INF)
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    bias3 = key_bias[:, None, :]
+    lse3 = lse[:, None, :]
+    delta3 = delta[:, None, :]
+
+    kv_specs = dict(
+        q=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0)),
+        k=pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0)),
+        bias=pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, i)),
+        row=pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, j)),
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        grid=(bh, lk_pad // block_kv, lq_pad // block_q),
+        in_specs=[
+            kv_specs["q"], kv_specs["k"], kv_specs["k"], kv_specs["bias"],
+            kv_specs["q"], kv_specs["row"], kv_specs["row"],
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, bias3, g, lse3, delta3)
+
+    q_specs = dict(
+        q=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        k=pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+        bias=pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
+        row=pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        grid=(bh, lq_pad // block_q, lk_pad // block_kv),
+        in_specs=[
+            q_specs["q"], q_specs["k"], q_specs["k"], q_specs["bias"],
+            q_specs["q"], q_specs["row"], q_specs["row"],
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, bias3, g, lse3, delta3)
+
+    dq = dq[:, :lq] if lq_pad != lq else dq
+    dk = dk[:, :lk] if lk_pad != lk else dk
+    dv = dv[:, :lk] if lk_pad != lk else dv
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, key_bias, block_q, block_kv):
     return _flash_fwd(q, k, v, key_bias, block_q=block_q, block_kv=block_kv)
 
 
 def _flash_vjp_fwd(q, k, v, key_bias, block_q, block_kv):
-    out = _flash_fwd(q, k, v, key_bias, block_q=block_q, block_kv=block_kv)
-    return out, (q, k, v, key_bias)
+    out, lse = _flash_fwd(q, k, v, key_bias, block_q=block_q,
+                          block_kv=block_kv, with_lse=True)
+    return out, (q, k, v, key_bias, out, lse)
 
 
 def _flash_vjp_bwd(block_q, block_kv, res, g):
+    q, k, v, key_bias, out, lse = res
+    import os
+
+    if os.environ.get("HVT_FLASH_BWD", "kernel") == "kernel":
+        dq, dk, dv = _flash_bwd_kernel(
+            q, k, v, key_bias, out, lse, g, block_q=block_q, block_kv=block_kv)
+        return dq, dk, dv, None
+    return _flash_vjp_bwd_chunked(block_q, block_kv, (q, k, v, key_bias), g)
+
+
+def _flash_vjp_bwd_chunked(block_q, block_kv, res, g):
     """Recompute-based backward, scanned over q chunks so peak memory is
     O(BH * block * Lk) instead of the full O(BH * Lq * Lk) logits tensor
     (at 512x896 training shapes the full logits would be tens of GB)."""

@@ -35,6 +35,12 @@ from humanvid_tpu.data import (
     Loader,
     OrientationBatchSampler,
 )
+from humanvid_tpu.ops.attention import set_default_attention_backend
+
+# flash attention (fwd + dq/dkv Pallas bwd kernels) for the long spatial
+# sequences: at 512x896 stage-1 shapes the einsum logits alone are ~26 GB;
+# tiny/CPU smoke shapes stay below the routing threshold and use einsum
+set_default_attention_backend("auto")
 from humanvid_tpu.parallel.mesh import make_mesh
 from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
 from humanvid_tpu.train import (

@@ -49,9 +49,37 @@ def test_flash_forward_unpadded_tail_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_backward_matches_einsum_grads():
-    """The q-chunked recompute backward must equal full einsum-attention
-    gradients (chunk size forced smaller than lq)."""
+def test_flash_kernel_backward_matches_einsum_grads():
+    """The Pallas dq/dkv backward kernels must equal full einsum-attention
+    gradients, including lq/lk not multiples of the block size."""
+    q, k, v, bias = _make(b=2, h=2, lq=100, lk=150, d=16)
+
+    def loss_flash(q_, k_, v_):
+        out = flash_attention(q_, k_, v_, bias, block_q=128, block_kv=128)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q_, k_, v_):
+        h = q_.shape[1]
+        out = _xla_reference(
+            q_.reshape(-1, *q_.shape[2:]), k_.reshape(-1, *k_.shape[2:]),
+            v_.reshape(-1, *v_.shape[2:]),
+            jnp.repeat(bias[:, 0, 0, :], h, axis=0),
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    # the bwd kernels run at grad time, so the whole grad call sits inside
+    # interpret mode (unlike the fwd-only tests)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_flash_backward_matches_einsum_grads(monkeypatch):
+    """The q-chunked recompute backward (fallback) must equal full
+    einsum-attention gradients (chunk size forced smaller than lq)."""
+    monkeypatch.setenv("HVT_FLASH_BWD", "chunked")
     q, k, v, bias = _make(b=1, h=2, lq=96, lk=160, d=16)
 
     def loss_flash(q_, k_, v_):
