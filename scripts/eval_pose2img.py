@@ -67,7 +67,12 @@ def main():
     cfg = load_config(args.config)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    if cfg.get("model") == "tiny":  # CPU smoke tests of the CLI surface
+        from humanvid_tpu.pipelines.system import tiny_config
+        system = CamAnimate(tiny_config(motion_max_len=24), dtype=dtype)
+    else:
+        system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    clip_sz = system.config.clip.image_size
     params = load_pretrained_params(system, cfg)
     pipe = Pose2ImagePipeline(system, params)
 
@@ -105,7 +110,7 @@ def main():
         gt = resize_frames(vid[1:], W, H)[0].astype(np.float32) / 255.0
         pose = resize_frames(pose_img[None], W, H)[0].astype(np.float32) / 255.0
         import cv2
-        clip_raw = cv2.resize(vid[0], (224, 224)).astype(np.float32) / 255.0
+        clip_raw = cv2.resize(vid[0], (clip_sz, clip_sz)).astype(np.float32) / 255.0
 
         cam_file = _camera_file(video_path)
         if os.path.exists(cam_file):

@@ -65,7 +65,12 @@ def main():
     cfg = load_config(args.config)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    if cfg.get("model") == "tiny":  # CPU smoke tests of the CLI surface
+        from humanvid_tpu.pipelines.system import tiny_config
+        system = CamAnimate(tiny_config(motion_max_len=24), dtype=dtype)
+    else:
+        system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    clip_sz = system.config.clip.image_size
     params = load_pretrained_params(system, cfg)
     pipe = Pose2VideoPipeline(system, params)
 
@@ -100,7 +105,7 @@ def main():
         gt = resize_frames(gt_frames, W, H).astype(np.float32) / 255.0
         ref = resize_frames(ref_raw[None], W, H)[0].astype(np.float32) / 255.0
         pose = resize_frames(pose_frames, W, H).astype(np.float32) / 255.0
-        clip_raw = cv2.resize(ref_raw, (224, 224)).astype(np.float32) / 255.0
+        clip_raw = cv2.resize(ref_raw, (clip_sz, clip_sz)).astype(np.float32) / 255.0
 
         cam_file = _camera_file(video_path)
         if os.path.exists(cam_file):

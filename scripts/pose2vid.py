@@ -55,7 +55,12 @@ def main():
     cfg = load_config(args.config)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    if cfg.get("model") == "tiny":  # CPU smoke tests of the CLI surface
+        from humanvid_tpu.pipelines.system import tiny_config
+        system = CamAnimate(tiny_config(motion_max_len=24), dtype=dtype)
+    else:
+        system = CamAnimate(CamAnimateConfig(), dtype=dtype)
+    clip_sz = system.config.clip.image_size
     params = load_pretrained_params(system, cfg)
     pipe = Pose2VideoPipeline(system, params)
 
@@ -81,7 +86,7 @@ def main():
             ref_img_raw = cv2.cvtColor(cv2.imread(ref_path), cv2.COLOR_BGR2RGB)
             ref = cv2.resize(ref_img_raw, (W, H)).astype(np.float32) / 255.0
             # pipeline CLIP input is raw [0,1] at 224 (it normalizes internally)
-            clip_raw = cv2.resize(ref_img_raw, (224, 224)).astype(np.float32) / 255.0
+            clip_raw = cv2.resize(ref_img_raw, (clip_sz, clip_sz)).astype(np.float32) / 255.0
 
             plucker = camera_file_to_plucker(
                 pose_path, total, tgt_idx[0], tgt_idx, (W, H), is_same_video=False
