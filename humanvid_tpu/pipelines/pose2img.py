@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion.ddim import ddim_set_timesteps
-from .pose2vid import _denoise_scan, _encode_reference, decode_latents
+from .pose2vid import _denoise_scan, decode_latents, make_prepare_fn
 from .system import CamAnimate, Params
 
 
@@ -84,9 +84,11 @@ class Pose2ImagePipeline:
         pose = jnp.asarray(pose_image, dtype)[None]  # [0, 1]: do_normalize=False
         plk = jnp.asarray(plucker, dtype)[None]
 
-        ctx, ref_feats = _encode_reference(system, params, ref_img, clip_img, do_cfg)
-        pose_fea = system.pose_guider.apply(params["pose_guider"], pose)
-        latents = jax.random.normal(rng, (1, H // 8, W // 8, 4), dtype)
+        prep_key = ("prepare", do_cfg)
+        if prep_key not in self._jit_cache:
+            self._jit_cache[prep_key] = make_prepare_fn(system, do_cfg)
+        ctx, ref_feats, pose_fea, latents = self._jit_cache[prep_key](
+            params, ref_img, clip_img, pose, (H // 8, W // 8), rng)
 
         latents = self._denoise_fn(guidance_scale)(
             params, latents, ctx, ref_feats, pose_fea, plk,

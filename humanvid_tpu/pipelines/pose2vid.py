@@ -185,6 +185,27 @@ def _denoise_scan(
     return latents
 
 
+def make_prepare_fn(system: CamAnimate, do_cfg: bool):
+    """One jitted executable for the whole sampling preamble (VAE+CLIP encode,
+    ReferenceNet forward, PoseGuider, latent init).
+
+    Eager per-op dispatch here would mean hundreds of tiny executable
+    launches per call — negligible on a local chip, but dominant through a
+    remote device tunnel, and it is part of the timed path.
+    """
+
+    @partial(jax.jit, static_argnums=(4,))
+    def fn(params, ref_img, clip_img, pose, latent_hw, rng):
+        ctx, ref_feats = _encode_reference(
+            system, params, ref_img, clip_img, do_cfg)
+        pose_fea = system.pose_guider.apply(params["pose_guider"], pose)
+        latents = jax.random.normal(
+            rng, (pose.shape[0],) + latent_hw + (4,), system.dtype)
+        return ctx, ref_feats, pose_fea, latents
+
+    return fn
+
+
 def decode_latents(system: CamAnimate, params: Params, latents: jnp.ndarray,
                    frame_chunk: int = 1) -> jnp.ndarray:
     """(f, h8, w8, 4) -> (f, H, W, 3) in [0, 1]; scanned frame-chunked decode.
@@ -250,6 +271,12 @@ class Pose2VideoPipeline:
                 )
 
             self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _prepare_fn(self, do_cfg: bool):
+        key = ("prepare", do_cfg)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = make_prepare_fn(self.system, do_cfg)
         return self._jit_cache[key]
 
     def _denoise_decode_fn(self, guidance_scale: float, decode_chunk: int,
@@ -335,11 +362,10 @@ class Pose2VideoPipeline:
         pose = jnp.asarray(pose_video, dtype)
         plk = jnp.asarray(plucker, dtype)
 
-        ctx, ref_feats = _encode_reference(system, params, ref_img, clip_img, do_cfg)
-        pose_fea = system.pose_guider.apply(params["pose_guider"], pose)
-        latents = jax.random.normal(rng, (f, h8, w8, 4), dtype)
+        ctx, ref_feats, pose_fea, latents = self._prepare_fn(do_cfg)(
+            params, ref_img, clip_img, pose, (h8, w8), rng)
         # hard barrier before the big fused program: on the axon remote backend,
-        # launching it while the eager encode ops are still in flight crashes
+        # launching it while the encode program is still in flight crashes
         # the TPU worker ("UNAVAILABLE ... kernel fault"); the sync costs
         # microseconds on healthy backends
         jax.block_until_ready((ctx, ref_feats, pose_fea, latents))
