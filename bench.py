@@ -55,7 +55,10 @@ def main():
     # per-module compiles; throughput is weight-independent.
     params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
                                 abstract=True)
-    params = jax.block_until_ready(jax.device_put(params))
+    # single packed transfer: per-leaf device_put is ~1.1k RPCs (minutes on
+    # the remote tunnel)
+    from humanvid_tpu.utils.transfer import packed_device_put
+    params = jax.block_until_ready(packed_device_put(params))
     pipe = Pose2VideoPipeline(system, params)
 
     rng = np.random.default_rng(0)

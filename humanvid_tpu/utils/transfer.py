@@ -1,0 +1,54 @@
+"""Packed host->device parameter transfer.
+
+``jax.device_put`` on a parameter pytree issues one transfer per leaf — ~1.1k
+RPCs for the CamAnimate system. On a remote-tunneled device (axon) each RPC
+carries fixed latency, making model upload take minutes. ``packed_device_put``
+concatenates all leaves into one byte buffer, ships it in a single transfer,
+and slices/bitcasts the leaves back out on device inside one jitted program
+(device-side work is a handful of fused reshapes).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def packed_device_put(tree: Any, device=None) -> Any:
+    """device_put an arbitrary pytree of arrays via one packed transfer."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    metas = []  # (offset, nbytes, shape, dtype)
+    chunks = []
+    off = 0
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        raw = arr.reshape(-1).view(np.uint8)
+        metas.append((off, raw.size, arr.shape, arr.dtype))
+        chunks.append(raw)
+        off += raw.size
+    packed = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    dev_packed = jax.device_put(packed, device)
+
+    # bitcast uint8 -> wider dtype reinterprets a trailing axis of size
+    # itemsize (little-endian, matching the numpy .view packing above)
+    def unpack(buf):
+        out = []
+        for o, n, shape, dtype in metas:
+            piece = jax.lax.dynamic_slice(buf, (o,), (n,))
+            itemsize = jnp.dtype(dtype).itemsize
+            if itemsize > 1:
+                piece = piece.reshape((-1, itemsize))
+                piece = jax.lax.bitcast_convert_type(piece, jnp.dtype(dtype))
+                piece = piece.reshape(-1)
+            else:
+                piece = jax.lax.bitcast_convert_type(piece, jnp.dtype(dtype))
+            out.append(piece.reshape(shape))
+        return out
+
+    new_leaves = jax.jit(unpack)(dev_packed)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

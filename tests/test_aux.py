@@ -117,3 +117,27 @@ def test_step_timers_accumulate(caplog):
         t.step(2, loss=0.25)  # logged
     assert t.averages().keys() == {"data", "step"}
     assert any("step 2/100" in r.getMessage() for r in caplog.records)
+
+
+def test_packed_device_put_roundtrip():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humanvid_tpu.utils.transfer import packed_device_put
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": rng.normal(size=(3, 5)).astype(np.float32),
+        "b": {"w": rng.normal(size=(7,)).astype(np.float32),
+              "bf": jnp.asarray(rng.normal(size=(4, 2)), jnp.bfloat16),
+              "i": np.arange(6, dtype=np.int32).reshape(2, 3)},
+    }
+    out = packed_device_put(tree)
+    assert isinstance(out["a"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+    np.testing.assert_array_equal(np.asarray(out["b"]["w"]), tree["b"]["w"])
+    np.testing.assert_array_equal(
+        np.asarray(out["b"]["bf"], np.float32),
+        np.asarray(tree["b"]["bf"], np.float32))
+    np.testing.assert_array_equal(np.asarray(out["b"]["i"]), tree["b"]["i"])
