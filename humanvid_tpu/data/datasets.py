@@ -56,13 +56,36 @@ def random_resize_crop_params(
     rng: random.Random, src_hw: Tuple[int, int], dst_wh: Tuple[int, int],
     scale_range: Tuple[float, float] = (1.0, 1.1),
 ):
-    """One (resize, crop) decision shared by all frames of a sample."""
+    """One (resize, crop) decision shared by all frames of a sample.
+
+    Reference ``RandomResizeCrop`` (``dance_image_h_v_camera.py:132-164``):
+    aspect-preserving cover-resize scaled by a random factor, then CENTER
+    crop — no anisotropic squeeze and no random translation, so the Plücker
+    rays' centered intrinsics stay aligned with the pixels.
+    """
     scale = rng.uniform(*scale_range)
+    h, w = src_hw
     dst_w, dst_h = dst_wh
-    rw, rh = int(round(dst_w * scale)), int(round(dst_h * scale))
-    x0 = rng.randint(0, max(rw - dst_w, 0)) if rw > dst_w else 0
-    y0 = rng.randint(0, max(rh - dst_h, 0)) if rh > dst_h else 0
-    return (rw, rh, x0, y0)
+    aspect = w / h
+    if aspect < 1:  # portrait source
+        new_w = int(dst_w * scale)
+        new_h = int(new_w / aspect)
+        if new_h < dst_h:
+            new_h = dst_h
+            new_w = int(new_h * aspect)
+            if new_w < dst_w:
+                raise ValueError(f"source aspect {aspect:.3f} cannot cover {dst_wh}")
+    else:
+        new_h = int(dst_h * scale)
+        new_w = int(new_h * aspect)
+        if new_w < dst_w:
+            new_w = dst_w
+            new_h = int(new_w / aspect)
+            if new_h < dst_h:
+                raise ValueError(f"source aspect {aspect:.3f} cannot cover {dst_wh}")
+    x0 = (new_w - dst_w) // 2
+    y0 = (new_h - dst_h) // 2
+    return (new_w, new_h, x0, y0)
 
 
 def apply_resize_crop(frames: np.ndarray, params, dst_wh: Tuple[int, int]) -> np.ndarray:
@@ -217,11 +240,21 @@ class HumanDanceCameraVideoDataset(_MetaIndexed):
         start, end = meta["start_frame"], meta["end_frame"]
         n = cfg.n_sample_frames
 
-        max_stride = max(2, min(cfg.sample_rate, (end - start - 1) // max(n - 1, 1)))
-        stride = rng.randint(2, max_stride) if max_stride > 2 else 2
+        # reference stride sampling (dance_video_h_v_camera.py:183-188):
+        # random stride in [2, min(max_rate, sample_rate)], falling back to a
+        # contiguous stride-1 clip when the segment is too short — never a
+        # clamped/stuttered tail
+        segment = end - start
+        max_rate = (segment - 1) // max(n - 1, 1)
+        if max_rate > 1:
+            stride = rng.randint(2, max(2, min(max_rate, cfg.sample_rate)))
+        else:
+            stride = 1
         span = (n - 1) * stride + 1
-        clip_start = rng.randint(start, max(end - span, start))
-        tgt_indices = [min(clip_start + i * stride, end - 1) for i in range(n)]
+        if span > segment:
+            raise ValueError(f"segment {segment} too short for {n} frames")
+        clip_start = rng.randint(start, end - span)
+        tgt_indices = [clip_start + i * stride for i in range(n)]
 
         # ref frame outside the clip when possible (dance_video:199-207)
         outside = [i for i in range(start, end)

@@ -3,8 +3,15 @@
 Behavioral parity: reference ``OrientationBatchSampler``
 (``dance_image_h_v_camera.py:397-452``) — every batch is entirely horizontal
 or entirely vertical (one compiled shape per orientation, the reference's
-bucketing trick that we keep because it also prevents XLA recompiles), batches
-shuffled with ``seed + epoch + rank``.
+bucketing trick that we keep because it also prevents XLA recompiles).
+
+Multi-replica sharding follows the reference's *distributed* variant
+(``DistributedOrientationBatchSampler:454-511``): the permutation is seeded
+rank-independently (``seed + epoch``) and replicas take disjoint strided
+slices of the SAME batch list — per-rank seeds over per-rank slices would
+shard unrelated permutations, duplicating some samples and dropping others.
+Our single-host drivers shard the global batch over the device mesh instead
+(rank=0, num_replicas=1), so this path only matters for multi-host input.
 """
 
 from __future__ import annotations
@@ -37,7 +44,9 @@ class OrientationBatchSampler:
         self.epoch = epoch
 
     def _batches(self) -> List[List[int]]:
-        rng = random.Random(self.seed + self.epoch + self.rank)
+        # rank-independent seed: every replica must shuffle identically for
+        # the strided shard below to partition (not resample) the batch list
+        rng = random.Random(self.seed + self.epoch)
         h = list(range(self.num_horizontal))
         v = list(range(self.num_horizontal, self.num_horizontal + self.num_vertical))
         rng.shuffle(h)

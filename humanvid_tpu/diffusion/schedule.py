@@ -1,9 +1,10 @@
 """Diffusion noise schedules: beta curves, zero-SNR rescale, noising utilities.
 
 Behavioral parity targets:
-- diffusers ``DDIMScheduler`` table construction as configured by the reference
-  (``train_stage_1.py:269-278``, ``configs/inference/inference_v2.yaml``):
-  scaled_linear betas 0.00085..0.012 over 1000 steps, optional
+- diffusers ``DDIMScheduler`` table construction as configured by the
+  reference: betas 0.00085..0.012 over 1000 steps — "linear" for inference
+  (``configs/inference/inference_v2.yaml:27``) and forced "scaled_linear" for
+  the training scheduler (``train_stage_1.py:277``) — with optional
   ``rescale_betas_zero_snr`` (Lin et al. 2023, "Common Diffusion Noise
   Schedules and Sample Steps are Flawed").
 - ``add_noise`` / ``get_velocity`` / ``compute_snr``

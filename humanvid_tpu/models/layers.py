@@ -90,7 +90,10 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Stride-2 3x3 conv (asymmetric (0,1) padding, matching SD)."""
+    """Stride-2 3x3 conv with symmetric padding=1: the SD1.5 *UNet* downsample
+    convention (reference ``src/models/resnet.py:91-109``, built with
+    padding=1; padding=0 raises NotImplementedError there). The VAE encoder's
+    asymmetric (0,1) padding lives separately in ``models/vae.py``."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
@@ -99,7 +102,7 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+            self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
 

@@ -1,7 +1,12 @@
 """Temporal context-window scheduling for long-video inference.
 
-Behavioral parity: reference ``src/pipelines/context.py:7-52`` — per-denoise-step
-phase-shifted sliding windows with power-of-two strides and wrap-around.
+Behavioral parity: reference ``src/pipelines/context.py:7-52`` — sliding
+windows with power-of-two strides and wrap-around. The scheduler supports
+per-step phase-shifted windows (its ``step`` argument), but the reference's
+production pipeline always calls it with ``step=0``
+(``pipeline_pose2vid_long.py:484,495``), so the window set is IDENTICAL for
+every denoising step; ``all_step_windows`` reproduces that by broadcasting
+the step-0 windows.
 
 TPU-first difference: the reference iterates windows *serially on one GPU*
 (``pipeline_pose2vid_long.py:514-556``); here windows for a step are stacked
@@ -63,14 +68,15 @@ def all_step_windows(
 ) -> np.ndarray:
     """Stack windows for every denoising step into ``(steps, W, context)`` int32.
 
-    The per-step window count is constant for ``closed_loop=True`` (the range
-    always spans exactly ``num_frames`` indices), which this asserts — required
-    for a static-shape ``lax.scan``.
+    The reference pipeline passes a literal ``step=0`` to the scheduler
+    (``pipeline_pose2vid_long.py:484``), so every step reuses the step-0
+    windows; broadcasting them keeps the scan input static-shaped for any
+    ``context_stride``.
     """
-    per_step = [
-        uniform_windows(s, num_frames, context_size, context_stride, context_overlap, closed_loop)
-        for s in range(num_steps)
-    ]
-    counts = {len(w) for w in per_step}
-    assert len(counts) == 1, f"non-constant window count across steps: {counts}"
-    return np.asarray(per_step, dtype=np.int32)
+    step0 = uniform_windows(
+        0, num_frames, context_size, context_stride, context_overlap, closed_loop
+    )
+    return np.broadcast_to(
+        np.asarray(step0, dtype=np.int32)[None],
+        (num_steps, len(step0), len(step0[0])),
+    ).copy()

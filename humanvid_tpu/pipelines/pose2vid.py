@@ -257,22 +257,6 @@ class Pose2VideoPipeline:
         self.sched = system.make_schedule()
         self._jit_cache = {}
 
-    def _denoise_fn(self, guidance_scale: float):
-        """Jitted denoise scan, cached per guidance scale (shapes handled by jit)."""
-        key = float(guidance_scale)
-        if key not in self._jit_cache:
-            system, sched, mesh = self.system, self.sched, self.mesh
-
-            @partial(jax.jit, donate_argnums=(1,))
-            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
-                return _denoise_scan(
-                    system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
-                    windows, ts, pts, guidance_scale, mesh=mesh,
-                )
-
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
-
     def _prepare_fn(self, do_cfg: bool):
         key = ("prepare", do_cfg)
         if key not in self._jit_cache:
@@ -289,10 +273,15 @@ class Pose2VideoPipeline:
         key = (float(guidance_scale), decode_chunk, interpolation_rate,
                interpolation_mode, cfg_mode)
         if key not in self._jit_cache:
+            import os
+
             system, sched, mesh = self.system, self.sched, self.mesh
             scale = 1.0 / system.config.vae.scaling_factor
+            # debug knob: donation is suspected in the axon-tunnel
+            # output-buffer fault (see bench.py); HVT_NO_DONATE=1 disables it
+            donate = () if os.environ.get("HVT_NO_DONATE") else (1,)
 
-            @partial(jax.jit, donate_argnums=(1,))
+            @partial(jax.jit, donate_argnums=donate)
             def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
                 latents = _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea, plk,

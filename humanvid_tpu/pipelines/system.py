@@ -40,11 +40,15 @@ class CamAnimateConfig:
     camera_encoder: CameraEncoderConfig = CameraEncoderConfig(position_encoding_max_len=24)
     vae: VAEConfig = VAEConfig()
     clip: CLIPVisionConfig = CLIPVisionConfig()
-    # scheduler (inference): zero-SNR + v-pred + trailing (inference_v2.yaml)
+    # scheduler (inference): zero-SNR + v-pred + trailing + LINEAR betas —
+    # the reference's production samplers build DDIMScheduler straight from
+    # inference_v2.yaml:25-32 (beta_schedule: "linear"); only the TRAIN
+    # scheduler is overwritten to scaled_linear (train_stage_1.py:277,
+    # train_stage_2.py:159) — drivers pass beta_schedule to make_schedule
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
-    beta_schedule: str = "scaled_linear"
+    beta_schedule: str = "linear"
     rescale_betas_zero_snr: bool = True
     prediction_type: str = "v_prediction"
     timestep_spacing: str = "trailing"
@@ -103,13 +107,14 @@ class CamAnimate:
         self.vae_decoder = VAEDecoder(config=config.vae, **kw)
         self.clip = CLIPVisionEncoder(config=config.clip, **kw)
 
-    def make_schedule(self, prediction_type: Optional[str] = None) -> NoiseSchedule:
+    def make_schedule(self, prediction_type: Optional[str] = None,
+                      beta_schedule: Optional[str] = None) -> NoiseSchedule:
         c = self.config
         return make_noise_schedule(
             num_train_timesteps=c.num_train_timesteps,
             beta_start=c.beta_start,
             beta_end=c.beta_end,
-            beta_schedule=c.beta_schedule,
+            beta_schedule=beta_schedule or c.beta_schedule,
             rescale_betas_zero_snr=c.rescale_betas_zero_snr,
             prediction_type=prediction_type or c.prediction_type,
         )

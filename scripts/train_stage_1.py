@@ -187,7 +187,10 @@ def run_training(stage: int, argv=None):
     tx = make_optimizer(trainable, predicate, opt_cfg)
     state = TrainState.create(trainable, frozen, tx)
 
-    sched = system.make_schedule()
+    # TRAIN schedule: the reference overwrites beta_schedule to scaled_linear
+    # for the training scheduler regardless of the inference yaml's "linear"
+    # (train_stage_1.py:277, train_stage_2.py:159)
+    sched = system.make_schedule(beta_schedule="scaled_linear")
     tcfg = TrainConfig(
         uncond_ratio=cfg.get("uncond_ratio", 0.1),
         noise_offset=cfg.get("noise_offset", 0.05),
