@@ -125,20 +125,25 @@ def _denoise_scan(
         feats_b = tuple(shard_rows(jnp.repeat(f, W, 0)) for f in ref_feats)
         ref_disable = None
 
+    # Hoisted conditioning: the window set is identical for every denoising
+    # step (the reference calls its context scheduler with step=0,
+    # pipeline_pose2vid_long.py:484), so the camera encoder + pose features
+    # depend only on windows[0] — computing them once here instead of inside
+    # the scan removes a full CameraPoseEncoder forward (PixelUnshuffle +
+    # resnet + temporal transformer over all window frames) from every step.
+    win0 = windows[0]  # (W, F)
+    plk_w0 = plucker[win0]
+    cam_w0 = system.camera_encoder.apply(
+        params["camera_encoder"],
+        plk_w0.reshape((W * F,) + plk_w0.shape[2:]),
+        F,
+    )  # ((W F), h8, w8, c0)
+    cond = pose_fea[win0].reshape(cam_w0.shape) + cam_w0
+
     def step_fn(latents, scan_in):
         win, t, prev_t = scan_in  # win: (W, F)
         lat_w = latents[win]                       # (W, F, h8, w8, 4)
-        pose_w = pose_fea[win]                     # (W, F, h8, w8, c0)
-        plk_w = plucker[win]                       # (W, F, H, W, 6)
-
         h8, w8 = lat_w.shape[2], lat_w.shape[3]
-        cam_w = system.camera_encoder.apply(
-            params["camera_encoder"],
-            plk_w.reshape((W * F,) + plk_w.shape[2:]),
-            F,
-        )  # ((W F), h8, w8, c0)
-        cond = pose_w.reshape(cam_w.shape) + cam_w  # ((W F), h8, w8, c0)
-
         x = lat_w.reshape((W * F, h8, w8, lat_w.shape[-1]))
 
         def unet(xb, ctxb, featsb, disable, rows):
@@ -152,13 +157,21 @@ def _denoise_scan(
             return eps
 
         if sequential_cfg:
-            # two W-row passes halve peak activation memory vs one 2W pass
-            eps_u = unet(x, ctx_u, feats_u, dis_u, W)
-            eps_c = unet(x, ctx_c, feats_c, None, W)
-            eps = jnp.stack([
-                eps_u.reshape((W, F, h8, w8, eps_u.shape[-1])),
-                eps_c.reshape((W, F, h8, w8, eps_c.shape[-1])),
-            ])  # (2, W, F, ...)
+            # two W-row passes halve peak activation memory vs one 2W pass;
+            # lax.map over the CFG axis instantiates the UNet body ONCE in
+            # the compiled program (an inlined second call doubles HLO size
+            # and compile time)
+            ctx_s = jnp.stack([ctx_u, ctx_c])
+            feats_s = tuple(jnp.stack([fu, fc])
+                            for fu, fc in zip(feats_u, feats_c))
+            dis_s = jnp.stack([dis_u, jnp.zeros((W,), bool)])
+
+            def one_pass(args):
+                ctxb, featsb, dis = args
+                return unet(x, ctxb, featsb, dis, W)
+
+            eps = jax.lax.map(one_pass, (ctx_s, feats_s, dis_s))  # (2, W*F, ...)
+            eps = eps.reshape((2, W, F, h8, w8, eps.shape[-1]))
             n_banks = 2
         else:
             xb = jnp.concatenate([x, x], 0) if do_cfg else x
@@ -308,6 +321,54 @@ class Pose2VideoPipeline:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
+    def _denoise_chunk_fn(self, guidance_scale: float, cfg_mode: str):
+        """Jitted K-step denoise scan WITHOUT the decode epilogue, reused
+        across sequential launches (``steps_per_launch``). One compiled
+        program serves every chunk: the windows/timestep slices are inputs."""
+        key = ("chunk", float(guidance_scale), cfg_mode)
+        if key not in self._jit_cache:
+            system, sched, mesh = self.system, self.sched, self.mesh
+
+            @jax.jit
+            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
+                return _denoise_scan(
+                    system, sched, params, latents, ctx, ref_feats, pose_fea,
+                    plk, windows, ts, pts, guidance_scale, mesh=mesh,
+                    cfg_mode=cfg_mode,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _decode_only_fn(self, decode_chunk: int, interpolation_rate: int,
+                        interpolation_mode: str):
+        key = ("decode", decode_chunk, interpolation_rate, interpolation_mode)
+        if key not in self._jit_cache:
+            system = self.system
+            scale = 1.0 / system.config.vae.scaling_factor
+
+            @jax.jit
+            def fn(params, latents):
+                dec_in = latents
+                if interpolation_rate > 1:
+                    from .interpolation import _interpolate_jit
+                    dec_in = _interpolate_jit(dec_in, interpolation_rate,
+                                              interpolation_mode)
+                f = dec_in.shape[0]
+                chunk = decode_chunk if f % decode_chunk == 0 else 1
+                chunks = dec_in.reshape((f // chunk, chunk) + dec_in.shape[1:])
+
+                def dec(_, z):
+                    return None, system.vae_decoder.apply(
+                        params["vae_decoder"], z * scale)
+
+                _, imgs = jax.lax.scan(dec, None, chunks)
+                imgs = imgs.reshape((f,) + imgs.shape[2:])
+                return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
     def __call__(
         self,
         ref_image: np.ndarray,     # (H, W, 3) in [0, 1]
@@ -325,6 +386,7 @@ class Pose2VideoPipeline:
         interpolation_mode: str = "slerp",
         cfg_mode: str = "batched",
         device_output: bool = False,
+        steps_per_launch: Optional[int] = None,
     ) -> Pose2VideoOutput:
         from ..models.clip_vision import clip_preprocess
 
@@ -359,13 +421,33 @@ class Pose2VideoPipeline:
         # microseconds on healthy backends
         jax.block_until_ready((ctx, ref_feats, pose_fea, latents))
 
-        video, latents = self._denoise_decode_fn(
-            guidance_scale, decode_chunk, interpolation_rate, interpolation_mode,
-            cfg_mode,
-        )(
-            params, latents, ctx, ref_feats, pose_fea, plk,
-            windows, ddim.timesteps, ddim.prev_timesteps,
-        )
+        if steps_per_launch and steps_per_launch < num_inference_steps:
+            # split the denoise scan across several launches of ONE compiled
+            # K-step program: remote workers kill single programs that run
+            # for many minutes (axon watchdog), and shorter launches also
+            # bound scheduler latency on shared chips. K must divide the
+            # step count so every launch reuses the same executable.
+            K = steps_per_launch
+            while num_inference_steps % K:
+                K -= 1
+            chunk_fn = self._denoise_chunk_fn(guidance_scale, cfg_mode)
+            for k0 in range(0, num_inference_steps, K):
+                latents = chunk_fn(
+                    params, latents, ctx, ref_feats, pose_fea, plk,
+                    windows[k0:k0 + K], ddim.timesteps[k0:k0 + K],
+                    ddim.prev_timesteps[k0:k0 + K],
+                )
+            video = self._decode_only_fn(
+                decode_chunk, interpolation_rate, interpolation_mode,
+            )(params, latents)
+        else:
+            video, latents = self._denoise_decode_fn(
+                guidance_scale, decode_chunk, interpolation_rate,
+                interpolation_mode, cfg_mode,
+            )(
+                params, latents, ctx, ref_feats, pose_fea, plk,
+                windows, ddim.timesteps, ddim.prev_timesteps,
+            )
         if device_output:
             # leave results on device (callers measuring device throughput or
             # feeding downstream device work); videos keeps the batch axis

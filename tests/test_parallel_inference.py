@@ -52,3 +52,25 @@ def test_sharded_matches_single_device(setup):
 
 def test_sharded_uses_multiple_devices(setup):
     assert len(jax.devices()) >= 2, "conftest must force an 8-device CPU mesh"
+
+
+def test_sequential_cfg_matches_batched(setup):
+    """cfg_mode='sequential' (two W-row passes via lax.map) must reproduce the
+    batched 2W-row CFG pass."""
+    system, params = setup[0], setup[1]
+    pipe = Pose2VideoPipeline(system, params)
+    batched = _run(pipe, setup)
+    sequential = _run(pipe, setup, cfg_mode="sequential")
+    np.testing.assert_allclose(sequential.latents, batched.latents, atol=2e-4)
+    np.testing.assert_allclose(sequential.videos, batched.videos, atol=2e-3)
+
+
+def test_steps_per_launch_matches_fused(setup):
+    """Chunked-launch denoising (steps_per_launch) must reproduce the fused
+    single-program path (same DDIM trajectory, same decode)."""
+    system, params = setup[0], setup[1]
+    pipe = Pose2VideoPipeline(system, params)
+    fused = _run(pipe, setup)
+    chunked = _run(pipe, setup, steps_per_launch=1)
+    np.testing.assert_allclose(chunked.latents, fused.latents, atol=2e-4)
+    np.testing.assert_allclose(chunked.videos, fused.videos, atol=2e-3)
