@@ -78,11 +78,18 @@ def main():
             # sequential CFG: two 24-row UNet passes per step — the 48-row
             # batched pass exceeds single-chip memory at this op-point
             cfg_mode="sequential",
+            # several launches of one compiled program instead of a single
+            # multi-minute program (remote workers kill those — see memory)
+            steps_per_launch=int(os.environ.get("HVT_BENCH_SPL", "6")),
             # time device work; the host transfer of the decoded video is a
             # property of the dev tunnel, not the chip
             device_output=True,
         )
-        jax.block_until_ready(out.videos)
+        # forced completion: block_until_ready can ack-return early on the
+        # axon backend, so a wall-clock measurement is only valid once a
+        # host fetch of a derived scalar has drained the device queue
+        checksum = float(jnp.sum(out.latents.astype(jnp.float32)))
+        assert checksum == checksum, "NaN latents checksum"
         return out
 
     t_setup = time.time()

@@ -50,5 +50,9 @@ def packed_device_put(tree: Any, device=None) -> Any:
             out.append(piece.reshape(shape))
         return out
 
-    new_leaves = jax.jit(unpack)(dev_packed)
+    try:
+        new_leaves = jax.jit(unpack)(dev_packed)
+    except Exception:  # noqa: BLE001 — e.g. remote AOT compiler rejecting the
+        # thousand-slice unpack program; per-leaf transfer is the safe path
+        return jax.device_put(tree, device)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
