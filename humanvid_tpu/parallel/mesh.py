@@ -50,3 +50,26 @@ def shard_pytree_batch(tree, mesh: Mesh, axis: str = "data"):
     """Device-put every leaf with its first axis sharded over ``axis``."""
     sh = shard_batch(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def zero1_opt_sharding(opt_state, mesh: Mesh, axis: str = "data",
+                       min_size: int = 4096):
+    """ZeRO-1-style sharding pytree for optimizer state.
+
+    Adam moments double the trainable-parameter memory; replicating them on
+    every chip (pure DP) is what overflows a single-host-memory-sized model.
+    Each moment leaf whose LAST axis (channels in this codebase's NHWC /
+    io-feature layouts) divides the mesh axis is sharded over it; small or
+    indivisible leaves stay replicated. XLA inserts the all-gather of the
+    parameter updates (the classic ZeRO-1 collective) automatically.
+    """
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[-1] % n == 0 and np.prod(shape) >= min_size:
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), axis))
+        return repl
+
+    return jax.tree.map(leaf, opt_state)

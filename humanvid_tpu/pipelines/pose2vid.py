@@ -108,9 +108,7 @@ def _denoise_scan(
     if sequential_cfg:
         ctx_u = jnp.repeat(ctx[:1], W, 0)
         ctx_c = jnp.repeat(ctx[1:], W, 0)
-        feats_u = tuple(jnp.repeat(f[:1], W, 0) for f in ref_feats)
         feats_c = tuple(jnp.repeat(f[1:], W, 0) for f in ref_feats)
-        dis_u = jnp.ones((W,), bool)
     elif do_cfg:
         ctx_b = jnp.concatenate([jnp.repeat(ctx[:1], W, 0), jnp.repeat(ctx[1:], W, 0)], 0)
         feats_b = tuple(
@@ -157,21 +155,18 @@ def _denoise_scan(
             return eps
 
         if sequential_cfg:
-            # two W-row passes halve peak activation memory vs one 2W pass;
-            # lax.map over the CFG axis instantiates the UNet body ONCE in
-            # the compiled program (an inlined second call doubles HLO size
-            # and compile time)
-            ctx_s = jnp.stack([ctx_u, ctx_c])
-            feats_s = tuple(jnp.stack([fu, fc])
-                            for fu, fc in zip(feats_u, feats_c))
-            dis_s = jnp.stack([dis_u, jnp.zeros((W,), bool)])
-
-            def one_pass(args):
-                ctxb, featsb, dis = args
-                return unet(x, ctxb, featsb, dis, W)
-
-            eps = jax.lax.map(one_pass, (ctx_s, feats_s, dis_s))  # (2, W*F, ...)
-            eps = eps.reshape((2, W, F, h8, w8, eps.shape[-1]))
+            # two W-row passes halve peak activation memory vs one 2W pass.
+            # The uncond pass runs WITHOUT the reference KV: its rows mask
+            # every reference key (mutual_self_attention.py:166-186 re-runs
+            # uncond rows against themselves), and softmax over the unmasked
+            # subset is identical to masked softmax over the union — skipping
+            # the concat halves the uncond pass's self-attention keys.
+            eps_u = unet(x, ctx_u, None, None, W)
+            eps_c = unet(x, ctx_c, feats_c, None, W)
+            eps = jnp.stack([
+                eps_u.reshape((W, F, h8, w8, eps_u.shape[-1])),
+                eps_c.reshape((W, F, h8, w8, eps_c.shape[-1])),
+            ])  # (2, W, F, ...)
             n_banks = 2
         else:
             xb = jnp.concatenate([x, x], 0) if do_cfg else x

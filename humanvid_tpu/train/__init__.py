@@ -1,5 +1,6 @@
 from .state import (
     OptimizerConfig,
+    cast_untrainable,
     TrainState,
     make_optimizer,
     stage1_trainable,
@@ -10,6 +11,7 @@ from .step import TrainConfig, make_loss_fn, make_train_step
 
 __all__ = [
     "OptimizerConfig",
+    "cast_untrainable",
     "TrainState",
     "make_optimizer",
     "stage1_trainable",

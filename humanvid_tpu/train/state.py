@@ -67,6 +67,25 @@ def stage2_trainable(component: str, path: str) -> bool:
     return False
 
 
+def cast_untrainable(params: Params, predicate: Callable[[str, str], bool],
+                     dtype=jnp.bfloat16) -> Params:
+    """Store stage-frozen leaves in ``dtype`` (bf16) instead of fp32 masters.
+
+    fp32 masters only matter for leaves the optimizer updates; stage-frozen
+    components (e.g. the whole ReferenceNet + non-motion video UNet in stage
+    2) are pure inference weights, and their fp32 copies are what pushed the
+    full-scale stage-2 step past single-chip HBM (18.5 GB needed vs 15.75).
+    The compute path casts params to the activation dtype at use either way.
+    """
+    def cast(component, tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: x if predicate(component, _path_str(path))
+            else x.astype(dtype),
+            tree,
+        )
+    return {k: cast(k, v) for k, v in params.items()}
+
+
 def trainability_mask(params: Params, predicate: Callable[[str, str], bool]):
     """Pytree of 'train'/'freeze' labels mirroring ``params``."""
     def label(component, tree):

@@ -184,6 +184,11 @@ def run_training(stage: int, argv=None):
             "gradient_accumulation_steps", 1),
     )
     predicate = stage1_trainable if stage == 1 else stage2_trainable
+    if dtype == jnp.bfloat16:
+        # stage-frozen leaves keep no fp32 master (see cast_untrainable) —
+        # without this the full-scale stage-2 step exceeds single-chip HBM
+        from humanvid_tpu.train import cast_untrainable
+        trainable = cast_untrainable(trainable, predicate)
     tx = make_optimizer(trainable, predicate, opt_cfg)
     state = TrainState.create(trainable, frozen, tx)
 
@@ -210,13 +215,27 @@ def run_training(stage: int, argv=None):
     mesh = make_mesh(n_mesh)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
+    if cfg.solver.get("shard_optimizer_states", False) and n_mesh > 1:
+        # ZeRO-1: Adam moments sharded over the data axis; XLA all-gathers
+        # the parameter updates. Full-scale stage 2 does not fit one chip's
+        # HBM with replicated moments (PERF.md).
+        from humanvid_tpu.parallel.mesh import zero1_opt_sharding
+        opt_sh = zero1_opt_sharding(state.opt_state, mesh)
+        state_sh = state.replace(
+            step=repl,
+            params=jax.tree.map(lambda _: repl, state.params),
+            frozen=jax.tree.map(lambda _: repl, state.frozen),
+            opt_state=opt_sh,
+        )
+    else:
+        state_sh = jax.tree.map(lambda _: repl, state)
     train_step = jax.jit(
         make_train_step(system, sched, tcfg),
-        in_shardings=(repl, shard, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, shard, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
-    state = jax.device_put(state, repl)
+    state = jax.device_put(state, state_sh)
 
     dataset = build_dataset(cfg, stage, clip_size=system.config.clip.image_size)
     sampler = OrientationBatchSampler(

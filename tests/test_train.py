@@ -104,3 +104,26 @@ def test_loss_decreases_over_steps(setup):
         state, aux = step(state, batch, rng)
         losses.append(float(aux["loss"]))
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_cast_untrainable_keeps_trainable_fp32():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humanvid_tpu.train import cast_untrainable, stage2_trainable
+
+    params = {
+        "camera_encoder": {"params": {"w": np.ones((2,), np.float32)}},
+        "reference_unet": {"params": {"w": np.ones((2,), np.float32)}},
+        "denoising_unet": {"params": {
+            "down_0_motion_0": {"w": np.ones((2,), np.float32)},
+            "down_0_resnets_0": {"w": np.ones((2,), np.float32)},
+        }},
+        "pose_guider": {"params": {"w": np.ones((2,), np.float32)}},
+    }
+    out = cast_untrainable(params, stage2_trainable)
+    assert out["camera_encoder"]["params"]["w"].dtype == jnp.float32
+    assert out["reference_unet"]["params"]["w"].dtype == jnp.bfloat16
+    assert out["denoising_unet"]["params"]["down_0_motion_0"]["w"].dtype == jnp.float32
+    assert out["denoising_unet"]["params"]["down_0_resnets_0"]["w"].dtype == jnp.bfloat16
+    assert out["pose_guider"]["params"]["w"].dtype == jnp.bfloat16
