@@ -20,7 +20,7 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,10 @@ class OptimizerConfig:
     # cfg.solver.gradient_accumulation_steps (train_stage_1.py:547); here an
     # optax.MultiSteps wrapper accumulates k microbatch grads per update.
     gradient_accumulation_steps: int = 1
+    # storage dtype of Adam's first moment (optax mu_dtype); "bfloat16"
+    # halves it — stage 1 trains ~1.5B params, whose fp32 mu+nu alone are
+    # 12.4 GB, so this is part of the small-pod memory plan (PERF.md)
+    mu_dtype: Optional[str] = None
 
 
 def _path_str(path) -> str:
@@ -116,7 +120,7 @@ def make_optimizer(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(
             lr, b1=config.beta1, b2=config.beta2, eps=config.eps,
-            weight_decay=config.weight_decay,
+            weight_decay=config.weight_decay, mu_dtype=config.mu_dtype,
         ),
     )
     labels = trainability_mask(params, predicate)

@@ -182,6 +182,7 @@ def run_training(stage: int, argv=None):
         warmup_steps=cfg.solver.lr_warmup_steps,
         gradient_accumulation_steps=cfg.solver.get(
             "gradient_accumulation_steps", 1),
+        mu_dtype=cfg.solver.get("adam_mu_dtype", None),
     )
     predicate = stage1_trainable if stage == 1 else stage2_trainable
     if dtype == jnp.bfloat16:

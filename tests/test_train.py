@@ -127,3 +127,19 @@ def test_cast_untrainable_keeps_trainable_fp32():
     assert out["denoising_unet"]["params"]["down_0_motion_0"]["w"].dtype == jnp.float32
     assert out["denoising_unet"]["params"]["down_0_resnets_0"]["w"].dtype == jnp.bfloat16
     assert out["pose_guider"]["params"]["w"].dtype == jnp.bfloat16
+
+
+def test_adam_mu_dtype_bf16():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humanvid_tpu.train import OptimizerConfig, make_optimizer
+
+    params = {"camera_encoder": {"params": {"w": np.ones((8,), np.float32)}}}
+    tx = make_optimizer(params, lambda c, p: True,
+                        OptimizerConfig(mu_dtype="bfloat16"))
+    st = tx.init(params)
+    mus = [x for x in jax.tree_util.tree_leaves(st)
+           if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment found in optimizer state"
