@@ -117,7 +117,11 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # one broadcast+reshape instead of two materialized repeats (the
+        # intermediate (n, 2h, w, c) copy is pure HBM traffic at full res)
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+        ).reshape(n, 2 * h, 2 * w, c)
         return nn.Conv(
             self.channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv",

@@ -127,7 +127,10 @@ class VAEDecoder(nn.Module):
                                name=f"up_{i}_resnets_{j}")(x)
             if i < len(rev) - 1:
                 n, h, w, c = x.shape
-                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                # single broadcast+reshape (no intermediate 2h-repeat copy)
+                x = jnp.broadcast_to(
+                    x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+                ).reshape(n, 2 * h, 2 * w, c)
                 x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                             param_dtype=self.param_dtype, name=f"up_{i}_upsample")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,

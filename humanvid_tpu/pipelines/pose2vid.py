@@ -385,6 +385,12 @@ class Pose2VideoPipeline:
     ) -> Pose2VideoOutput:
         from ..models.clip_vision import clip_preprocess
 
+        if steps_per_launch is None:
+            import os
+            # env default so every CLI gets the watchdog-safe chunked-launch
+            # mode on remote backends without plumbing a flag everywhere
+            steps_per_launch = int(os.environ.get("HVT_STEPS_PER_LAUNCH", "0")) or None
+
         system, params = self.system, self.params
         f, H, Wd, _ = pose_video.shape
         h8, w8 = H // 8, Wd // 8
