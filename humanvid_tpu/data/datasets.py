@@ -287,3 +287,20 @@ class HumanDanceCameraVideoDataset(_MetaIndexed):
             "pose": pose.astype(np.float32) / 255.0,
             "plucker": plucker,
         }
+
+
+def clip_crop_raw(image: np.ndarray, size: int = 224) -> np.ndarray:
+    """uint8 (H, W, 3) -> raw [0,1] float32 (size, size, 3) via CLIP's
+    short-side resize + center crop — WITHOUT normalization (the pipelines
+    normalize internally). The inference CLIs use this so conditioning
+    matches training/`clip_preprocess_np` instead of an aspect-distorting
+    direct resize."""
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = size / min(h, w)
+    r = cv2.resize(image, (int(round(w * scale)), int(round(h * scale))),
+                   interpolation=cv2.INTER_CUBIC)
+    rh, rw = r.shape[:2]
+    y0, x0 = (rh - size) // 2, (rw - size) // 2
+    return r[y0:y0 + size, x0:x0 + size].astype(np.float32) / 255.0

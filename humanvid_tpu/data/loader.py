@@ -43,27 +43,53 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: List[BaseException] = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (break / exception): otherwise the producer thread
+            # blocks forever holding prefetch batches (device-resident HBM
+            # for stage-2 video batches) and its worker pool
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in self.batch_sampler:
+                        if stop.is_set():
+                            return
                         samples = list(pool.map(self.dataset.__getitem__, batch_idx))
                         batch = collate(samples)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
-                        q.put(batch)
+                        if not put(batch):
+                            return
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe the stop event fast
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

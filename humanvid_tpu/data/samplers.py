@@ -60,8 +60,11 @@ class OrientationBatchSampler:
 
         batches = chunk(h) + chunk(v)
         rng.shuffle(batches)
-        # shard batches across replicas
-        return batches[self.rank::self.num_replicas]
+        # shard batches across replicas: truncate to a common multiple first
+        # so every rank sees the same number of steps (unequal shards would
+        # deadlock the collective train step at epoch end)
+        even = len(batches) // self.num_replicas * self.num_replicas
+        return batches[:even][self.rank::self.num_replicas]
 
     def __iter__(self) -> Iterator[List[int]]:
         return iter(self._batches())

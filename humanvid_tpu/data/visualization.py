@@ -58,10 +58,11 @@ class CameraPoseVisualizer:
 
     def add_trajectory(self, c2ws: Sequence[np.ndarray], cmap: str = "rainbow",
                        **kwargs):
-        import matplotlib.cm as cm
+        import matplotlib
 
         n = len(c2ws)
-        colors = cm.get_cmap(cmap)(np.linspace(0, 1, max(n, 2)))
+        # matplotlib.cm.get_cmap was removed in 3.9; colormaps[] is the API
+        colors = matplotlib.colormaps[cmap](np.linspace(0, 1, max(n, 2)))
         for i, pose in enumerate(c2ws):
             self.add_pose(pose, color=colors[i], **kwargs)
 

@@ -116,9 +116,12 @@ def evaluate_pairs(
 
     if inception_variables is not None and fid_gen:
         from .inception import fid_features
-        fg = fid_features(inception_variables, np.concatenate(fid_gen))
-        ft = fid_features(inception_variables, np.concatenate(fid_gt))
-        out["fid"] = frechet_from_features([fg], [ft])
+        # per-video feature extraction: raw frame stacks keep their native
+        # resolutions (orientation-adaptive W/H), so concatenating pixels
+        # across videos would fail — features share a width
+        fg = [fid_features(inception_variables, g) for g in fid_gen]
+        ft = [fid_features(inception_variables, t) for t in fid_gt]
+        out["fid"] = frechet_from_features(fg, ft)
 
     if i3d_variables is not None and fvd_gen:
         from .i3d import fvd_logits

@@ -168,7 +168,9 @@ class GAU(nn.Module):
         e = self.dim * self.expansion
         shortcut = x
         xn = ScaleNorm(name="ln")(x)
-        uv = nn.Dense(2 * e + self.s, use_bias=True, name="uv")(xn)
+        # mmpose RTMCCBlock builds uv with bias=False (same as the output
+        # projection); a bias param here would not exist in real checkpoints
+        uv = nn.Dense(2 * e + self.s, use_bias=False, name="uv")(xn)
         uv = nn.silu(uv)
         u, v, base = jnp.split(uv, [e, 2 * e], axis=-1)
         gamma = self.param("gamma", nn.initializers.normal(0.02), (2, self.s))

@@ -13,6 +13,7 @@ Param tree mirrors the upstream YOLOX module paths (``backbone.backbone.stem
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Dict, List, Sequence, Tuple
 
@@ -314,10 +315,17 @@ def load_torch_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_apply(model: "YOLOX"):
+    # cached per model config: a fresh jit(partial(...)) per call would
+    # re-trace and recompile the full YOLOX graph every frame
+    return jax.jit(model.apply)
+
+
 def detect_persons(variables, image_bgr: np.ndarray, model: YOLOX = None,
                    score_thr: float = 0.3) -> np.ndarray:
     """One image -> (k, 5) person boxes xyxy+score (original pixels)."""
     model = model or YOLOX()
     inp, ratio = letterbox(image_bgr)
-    pred = np.asarray(jax.jit(partial(model.apply, variables))(inp[None]))[0]
+    pred = np.asarray(_jitted_apply(model)(variables, inp[None]))[0]
     return postprocess_person(pred, ratio, score_thr)

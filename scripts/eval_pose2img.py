@@ -36,7 +36,7 @@ from humanvid_tpu.data.camera import (
     ray_condition,
     static_camera,
 )
-from humanvid_tpu.data.datasets import _camera_file
+from humanvid_tpu.data.datasets import _camera_file, clip_crop_raw
 from humanvid_tpu.data.video_io import read_frames, resize_frames
 from humanvid_tpu.metrics import l1, psnr, ssim
 from humanvid_tpu.pipelines import CamAnimate, CamAnimateConfig, Pose2ImagePipeline
@@ -92,8 +92,6 @@ def main():
         video_path, kps_path = entry["video_path"], entry["kps_path"]
         start = entry.get("start_frame", 0)
         end = entry.get("end_frame", None)
-        frames_total = end if end is not None else len(read_frames(video_path, indices=[0])) * 0 + 10**9
-
         # ref = first frame of the segment; tgt = ref + eval_distance (":231-239")
         ref_idx = start
         tgt_idx = min(ref_idx + args.eval_distance, (end or start + args.eval_distance + 1) - 1)
@@ -110,7 +108,7 @@ def main():
         gt = resize_frames(vid[1:], W, H)[0].astype(np.float32) / 255.0
         pose = resize_frames(pose_img[None], W, H)[0].astype(np.float32) / 255.0
         import cv2
-        clip_raw = cv2.resize(vid[0], (clip_sz, clip_sz)).astype(np.float32) / 255.0
+        clip_raw = clip_crop_raw(vid[0], clip_sz)
 
         cam_file = _camera_file(video_path)
         if os.path.exists(cam_file):

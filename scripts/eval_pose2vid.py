@@ -33,7 +33,7 @@ from humanvid_tpu.data.camera import (
     ray_condition,
     static_camera,
 )
-from humanvid_tpu.data.datasets import _camera_file
+from humanvid_tpu.data.datasets import _camera_file, clip_crop_raw
 from humanvid_tpu.data.video_io import read_frames, resize_frames, save_video
 from humanvid_tpu.pipelines import CamAnimate, CamAnimateConfig, Pose2VideoPipeline
 from humanvid_tpu.utils.config import load_config
@@ -87,9 +87,10 @@ def main():
         video_path, kps_path = entry["video_path"], entry["kps_path"]
         start = entry.get("start_frame", 0)
         end = entry["end_frame"]
-        span = (args.L - 1) * args.stride + 1
-        clip_start = start if end - start >= span else start
-        tgt_idx = [min(clip_start + i * args.stride, end - 1) for i in range(args.L)]
+        # reduce the stride for short segments instead of clamping indices
+        # into a frozen duplicated tail (which would skew FVD/SSIM silently)
+        stride = min(args.stride, max(1, (end - start - 1) // max(args.L - 1, 1)))
+        tgt_idx = [min(start + i * stride, end - 1) for i in range(args.L)]
         ref_idx = tgt_idx[len(tgt_idx) // 2]  # middle frame (":261")
 
         gt_frames = read_frames(video_path, indices=tgt_idx)
@@ -105,7 +106,7 @@ def main():
         gt = resize_frames(gt_frames, W, H).astype(np.float32) / 255.0
         ref = resize_frames(ref_raw[None], W, H)[0].astype(np.float32) / 255.0
         pose = resize_frames(pose_frames, W, H).astype(np.float32) / 255.0
-        clip_raw = cv2.resize(ref_raw, (clip_sz, clip_sz)).astype(np.float32) / 255.0
+        clip_raw = clip_crop_raw(ref_raw, clip_sz)
 
         cam_file = _camera_file(video_path)
         if os.path.exists(cam_file):

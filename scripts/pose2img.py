@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from humanvid_tpu.data.datasets import clip_crop_raw
 from humanvid_tpu.data.camera import camera_file_to_plucker
 from humanvid_tpu.pipelines import CamAnimate, CamAnimateConfig, Pose2ImagePipeline
 from humanvid_tpu.utils.config import load_config
@@ -74,7 +75,7 @@ def main():
 
             ref = cv2.resize(ref_raw, (W, H)).astype(np.float32) / 255.0
             pose = cv2.resize(pose_raw, (W, H)).astype(np.float32) / 255.0
-            clip_raw = cv2.resize(ref_raw, (clip_sz, clip_sz)).astype(np.float32) / 255.0
+            clip_raw = clip_crop_raw(ref_raw, clip_sz)
             plucker = camera_file_to_plucker(
                 pose_path, 1, 0, [0], (W, H), is_same_video=False
             )[0]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from humanvid_tpu.data.camera import camera_file_to_plucker
-from humanvid_tpu.data.datasets import clip_preprocess_np
+from humanvid_tpu.data.datasets import clip_crop_raw
 from humanvid_tpu.data.video_io import get_fps, read_frames, resize_frames, save_videos_grid
 from humanvid_tpu.pipelines import CamAnimate, CamAnimateConfig, Pose2VideoPipeline
 from humanvid_tpu.utils.config import load_config
@@ -86,7 +86,7 @@ def main():
             ref_img_raw = cv2.cvtColor(cv2.imread(ref_path), cv2.COLOR_BGR2RGB)
             ref = cv2.resize(ref_img_raw, (W, H)).astype(np.float32) / 255.0
             # pipeline CLIP input is raw [0,1] at 224 (it normalizes internally)
-            clip_raw = cv2.resize(ref_img_raw, (clip_sz, clip_sz)).astype(np.float32) / 255.0
+            clip_raw = clip_crop_raw(ref_img_raw, clip_sz)
 
             plucker = camera_file_to_plucker(
                 pose_path, total, tgt_idx[0], tgt_idx, (W, H), is_same_video=False

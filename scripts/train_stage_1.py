@@ -185,6 +185,11 @@ def run_training(stage: int, argv=None):
         mu_dtype=cfg.solver.get("adam_mu_dtype", None),
     )
     predicate = stage1_trainable if stage == 1 else stage2_trainable
+    # resume restores the step counter too: the LR warmup schedule, the
+    # per-step rng fold-in, and MultiSteps accumulation all key off
+    # state.step — restarting it at 0 would replay warmup and the exact
+    # noise/timestep sequence already consumed before the interruption
+    # (the reference resumes global_step only; this is the superset)
     if dtype == jnp.bfloat16:
         # stage-frozen leaves keep no fp32 master (see cast_untrainable) —
         # without this the full-scale stage-2 step exceeds single-chip HBM
@@ -192,6 +197,8 @@ def run_training(stage: int, argv=None):
         trainable = cast_untrainable(trainable, predicate)
     tx = make_optimizer(trainable, predicate, opt_cfg)
     state = TrainState.create(trainable, frozen, tx)
+    if step0:
+        state = state.replace(step=jnp.asarray(step0, jnp.int32))
 
     # TRAIN schedule: the reference overwrites beta_schedule to scaled_linear
     # for the training scheduler regardless of the inference yaml's "linear"
