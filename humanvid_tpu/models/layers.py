@@ -315,11 +315,9 @@ class TemporalTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, frames: int) -> jnp.ndarray:
-        if frames == 1:
-            # A single frame attends only to itself; the module reduces to
-            # (zero-init proj_out at init) a residual no-op — but still runs so
-            # training stage 1 ≠ stage 2 parameter structures stay distinct.
-            pass
+        # frames == 1: a single frame attends only to itself, so the module
+        # reduces to a residual no-op at init (zero-init proj_out) — it still
+        # runs so stage-1 and stage-2 parameter structures stay distinct.
         bf, h, w, c = x.shape
         b = bf // frames
         residual = x

@@ -63,7 +63,7 @@ class _VAEAttention(nn.Module):
                          param_dtype=self.param_dtype, name="group_norm")(x)
         x = x.reshape(n, h * w, c)
         x = MultiHeadAttention(
-            query_dim=c, heads=1, head_dim=c, dtype=self.dtype,
+            query_dim=c, heads=1, head_dim=c, qkv_bias=True, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attn",
         )(x)
         return residual + x.reshape(n, h, w, c)

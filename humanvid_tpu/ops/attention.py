@@ -71,6 +71,11 @@ def _chunked_xla_attention(q, k, v, bias, chunk: Optional[int] = None,
         chunk = max(128, min(lq, logits_budget_bytes // max(b * h * lk * 4, 1)))
     if lq <= chunk:
         return _xla_attention(q, k, v, bias)
+    # the scan body reuses one bias for every q chunk, which is only correct
+    # when the bias is q-independent; per-query biases would need slicing
+    assert bias is None or bias.shape[2] == 1, (
+        "chunked attention requires a query-independent bias; got "
+        f"bias.shape={bias.shape}")
     pad = (-lq) % chunk
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
     n = qp.shape[2] // chunk
@@ -129,6 +134,10 @@ class MultiHeadAttention(nn.Module):
     head_dim: int
     context_dim: Optional[int] = None  # None => self-attention
     out_bias: bool = True
+    # SD1.5 UNet attention has no q/k/v biases; the VAE mid-block attention
+    # (diffusers AutoencoderKL) DOES — converted sd-vae-ft-mse checkpoints
+    # carry to_{q,k,v}.bias that must have somewhere to land
+    qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -148,12 +157,12 @@ class MultiHeadAttention(nn.Module):
             nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype
         )
 
-        q = dense(inner, use_bias=False, name="to_q")(x)
+        q = dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
         kv_in = kv_src
         if extra_kv is not None:
             kv_in = jnp.concatenate([kv_src, extra_kv.astype(kv_src.dtype)], axis=1)
-        k = dense(inner, use_bias=False, name="to_k")(kv_in)
-        v = dense(inner, use_bias=False, name="to_v")(kv_in)
+        k = dense(inner, use_bias=self.qkv_bias, name="to_k")(kv_in)
+        v = dense(inner, use_bias=self.qkv_bias, name="to_v")(kv_in)
 
         def split_heads(t):
             return t.reshape(B, t.shape[1], self.heads, self.head_dim).transpose(0, 2, 1, 3)

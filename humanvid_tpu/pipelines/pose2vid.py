@@ -214,36 +214,45 @@ def make_prepare_fn(system: CamAnimate, do_cfg: bool):
     return fn
 
 
-def decode_latents(system: CamAnimate, params: Params, latents: jnp.ndarray,
-                   frame_chunk: int = 1) -> jnp.ndarray:
-    """(f, h8, w8, 4) -> (f, H, W, 3) in [0, 1]; scanned frame-chunked decode.
+def _decode_body(system: CamAnimate, params: Params, latents: jnp.ndarray,
+                 decode_chunk: int, interpolation_rate: int = 1,
+                 interpolation_mode: str = "slerp") -> jnp.ndarray:
+    """Trace-time decode epilogue shared by every jitted decode variant:
+    optional latent interpolation -> frame-chunked scanned VAE decode ->
+    [0, 1] clip. (Must be called inside jit: an eager lax.scan would capture
+    the decoder params as lowering constants, which deadlocks on this JAX
+    build — see NoiseSchedule docstring.)"""
+    scale = 1.0 / system.config.vae.scaling_factor
+    dec_in = latents
+    if interpolation_rate > 1:
+        from .interpolation import _interpolate_jit
+        dec_in = _interpolate_jit(dec_in, interpolation_rate, interpolation_mode)
+    f = dec_in.shape[0]
+    chunk = decode_chunk if f % decode_chunk == 0 else 1
+    chunks = dec_in.reshape((f // chunk, chunk) + dec_in.shape[1:])
 
-    Jitted with params as explicit args: an *eager* lax.scan would capture the
-    decoder params as lowering constants, which deadlocks on this JAX build
-    (see NoiseSchedule docstring).
-    """
-    f = latents.shape[0]
-    assert f % frame_chunk == 0, (f, frame_chunk)
-    chunks = latents.reshape((f // frame_chunk, frame_chunk) + latents.shape[1:])
-    imgs = _decode_scan(system, frame_chunk)(params["vae_decoder"], chunks)
+    def dec(_, z):
+        return None, system.vae_decoder.apply(params["vae_decoder"], z * scale)
+
+    _, imgs = jax.lax.scan(dec, None, chunks)
     imgs = imgs.reshape((f,) + imgs.shape[2:])
     return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
+
+
+def decode_latents(system: CamAnimate, params: Params, latents: jnp.ndarray,
+                   frame_chunk: int = 1) -> jnp.ndarray:
+    """(f, h8, w8, 4) -> (f, H, W, 3) in [0, 1]; scanned frame-chunked decode."""
+    return _decode_fn_cached(system, frame_chunk)(params, latents)
 
 
 from functools import lru_cache as _lru_cache
 
 
 @_lru_cache(maxsize=None)
-def _decode_scan(system: CamAnimate, frame_chunk: int):
-    scale = 1.0 / system.config.vae.scaling_factor
-
+def _decode_fn_cached(system: CamAnimate, frame_chunk: int):
     @jax.jit
-    def run(dec_params, chunks):
-        def dec(_, z):
-            return None, system.vae_decoder.apply(dec_params, z * scale)
-
-        _, imgs = jax.lax.scan(dec, None, chunks)
-        return imgs
+    def run(params, latents):
+        return _decode_body(system, params, latents, frame_chunk)
 
     return run
 
@@ -284,7 +293,6 @@ class Pose2VideoPipeline:
             import os
 
             system, sched, mesh = self.system, self.sched, self.mesh
-            scale = 1.0 / system.config.vae.scaling_factor
             # debug knob: donation is suspected in the axon-tunnel
             # output-buffer fault (see bench.py); HVT_NO_DONATE=1 disables it
             donate = () if os.environ.get("HVT_NO_DONATE") else (1,)
@@ -296,22 +304,9 @@ class Pose2VideoPipeline:
                     windows, ts, pts, guidance_scale, mesh=mesh,
                     cfg_mode=cfg_mode,
                 )
-                dec_in = latents
-                if interpolation_rate > 1:
-                    from .interpolation import _interpolate_jit
-                    dec_in = _interpolate_jit(dec_in, interpolation_rate,
-                                              interpolation_mode)
-                f = dec_in.shape[0]
-                chunk = decode_chunk if f % decode_chunk == 0 else 1
-                chunks = dec_in.reshape((f // chunk, chunk) + dec_in.shape[1:])
-
-                def dec(_, z):
-                    return None, system.vae_decoder.apply(
-                        params["vae_decoder"], z * scale)
-
-                _, imgs = jax.lax.scan(dec, None, chunks)
-                imgs = imgs.reshape((f,) + imgs.shape[2:])
-                return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0), latents
+                video = _decode_body(system, params, latents, decode_chunk,
+                                     interpolation_rate, interpolation_mode)
+                return video, latents
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
@@ -340,26 +335,11 @@ class Pose2VideoPipeline:
         key = ("decode", decode_chunk, interpolation_rate, interpolation_mode)
         if key not in self._jit_cache:
             system = self.system
-            scale = 1.0 / system.config.vae.scaling_factor
 
             @jax.jit
             def fn(params, latents):
-                dec_in = latents
-                if interpolation_rate > 1:
-                    from .interpolation import _interpolate_jit
-                    dec_in = _interpolate_jit(dec_in, interpolation_rate,
-                                              interpolation_mode)
-                f = dec_in.shape[0]
-                chunk = decode_chunk if f % decode_chunk == 0 else 1
-                chunks = dec_in.reshape((f // chunk, chunk) + dec_in.shape[1:])
-
-                def dec(_, z):
-                    return None, system.vae_decoder.apply(
-                        params["vae_decoder"], z * scale)
-
-                _, imgs = jax.lax.scan(dec, None, chunks)
-                imgs = imgs.reshape((f,) + imgs.shape[2:])
-                return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
+                return _decode_body(system, params, latents, decode_chunk,
+                                    interpolation_rate, interpolation_mode)
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]

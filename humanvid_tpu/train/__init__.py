@@ -1,6 +1,8 @@
 from .state import (
     OptimizerConfig,
     cast_untrainable,
+    combine_params,
+    partition_params,
     TrainState,
     make_optimizer,
     stage1_trainable,
@@ -12,6 +14,8 @@ from .step import TrainConfig, make_loss_fn, make_train_step
 __all__ = [
     "OptimizerConfig",
     "cast_untrainable",
+    "combine_params",
+    "partition_params",
     "TrainState",
     "make_optimizer",
     "stage1_trainable",

@@ -156,3 +156,27 @@ class TrainState(struct.PyTreeNode):
             params=optax.apply_updates(self.params, updates),
             opt_state=new_opt,
         )
+
+
+def partition_params(params: Params, predicate: Callable[[str, str], bool]):
+    """Split component params into (trainable, static) trees with ``None``
+    holes (equinox-style partition). Differentiating only the trainable
+    partition prunes the entire backward pass through stage-frozen
+    components (e.g. the whole ReferenceNet in stage 2) that pure
+    update-masking would still compute and then discard."""
+    def split(comp, tree, keep):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: x if predicate(comp, _path_str(path)) == keep else None,
+            tree,
+        )
+    train = {c: split(c, t, True) for c, t in params.items()}
+    static = {c: split(c, t, False) for c, t in params.items()}
+    return train, static
+
+
+def combine_params(a: Params, b: Params) -> Params:
+    """Inverse of partition_params: fill ``None`` holes of ``a`` from ``b``."""
+    return jax.tree.map(
+        lambda x, y: y if x is None else x, a, b,
+        is_leaf=lambda v: v is None,
+    )

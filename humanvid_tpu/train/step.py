@@ -128,16 +128,45 @@ def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
     return loss_fn
 
 
-def make_train_step(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
+def make_train_step(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig,
+                    trainable_predicate=None):
+    """``trainable_predicate`` (component, path) -> bool: when given, only the
+    matching partition of ``state.params`` is differentiated. JAX then prunes
+    the entire backward pass through stage-frozen components (e.g. in stage 2
+    the ReferenceNet and the non-motion video UNet — ~1.5B params whose
+    gradients pure update-masking would compute, materialize, and discard),
+    matching the reference's ``requires_grad_(False)`` cost profile. The
+    optimizer still sees a full-structure gradient tree (zeros in the frozen
+    holes, DCE'd by XLA because ``set_to_zero`` ignores them), and the logged
+    grad_norm covers exactly the clipped (trainable) gradients.
+    """
     loss_fn = make_loss_fn(system, sched, cfg)
 
     def train_step(state, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.frozen, batch, rng
-        )
+        if trainable_predicate is None:
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.frozen, batch, rng
+            )
+            aux["grad_norm"] = optax_global_norm(grads)
+        else:
+            from .state import combine_params, partition_params
+
+            train_part, static_part = partition_params(
+                state.params, trainable_predicate)
+
+            def loss_on_trainable(tp):
+                return loss_fn(combine_params(tp, static_part),
+                               state.frozen, batch, rng)
+
+            (_, aux), grads_t = jax.value_and_grad(
+                loss_on_trainable, has_aux=True)(train_part)
+            aux["grad_norm"] = optax_global_norm(grads_t)
+            zeros = jax.tree.map(
+                lambda x: None if x is None else jnp.zeros_like(x),
+                static_part, is_leaf=lambda v: v is None)
+            grads = combine_params(grads_t, zeros)
         new_state = state.apply_gradients(grads)
-        aux["grad_norm"] = optax_global_norm(grads)
         return new_state, aux
 
     return train_step

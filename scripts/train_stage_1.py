@@ -166,6 +166,17 @@ def run_training(stage: int, argv=None):
             if os.path.exists(path):
                 params[name] = load_checkpoint(path, params[name])
                 logger.info("resumed %s from %s", name, path)
+        # stage-2 checkpoints store the video UNet as a motion-only subtree
+        # (reference train_stage_2.py:421-431); merge it back on resume —
+        # without this a stage-2 resume silently reset the motion modules
+        mm_path = os.path.join(
+            cfg.resume_from_checkpoint, f"motion_module-{step0}.msgpack")
+        if os.path.exists(mm_path):
+            from humanvid_tpu.train.checkpoint import merge_motion_modules
+            from humanvid_tpu.utils.weights import load_msgpack_tree
+            params["denoising_unet"] = merge_motion_modules(
+                params["denoising_unet"], load_msgpack_tree(mm_path))
+            logger.info("resumed motion modules from %s", mm_path)
     else:
         step0 = 0
 
@@ -199,6 +210,12 @@ def run_training(stage: int, argv=None):
     state = TrainState.create(trainable, frozen, tx)
     if step0:
         state = state.replace(step=jnp.asarray(step0, jnp.int32))
+        opt_path = os.path.join(
+            cfg.resume_from_checkpoint, f"opt_state-{step0}.msgpack")
+        if os.path.exists(opt_path):
+            state = state.replace(
+                opt_state=load_checkpoint(opt_path, state.opt_state))
+            logger.info("resumed optimizer state from %s", opt_path)
 
     # TRAIN schedule: the reference overwrites beta_schedule to scaled_linear
     # for the training scheduler regardless of the inference yaml's "linear"
@@ -238,7 +255,7 @@ def run_training(stage: int, argv=None):
     else:
         state_sh = jax.tree.map(lambda _: repl, state)
     train_step = jax.jit(
-        make_train_step(system, sched, tcfg),
+        make_train_step(system, sched, tcfg, trainable_predicate=predicate),
         in_shardings=(state_sh, shard, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
@@ -305,6 +322,7 @@ def run_training(stage: int, argv=None):
             if global_step % cfg.get("checkpointing_steps", 5000) == 0:
                 save_train_checkpoint(
                     save_dir, jax.device_get(state.params), global_step,
+                    opt_state=jax.device_get(state.opt_state),
                     motion_only=(stage == 2),
                     total_limit=3 if stage == 1 else 10,
                 )
@@ -316,6 +334,7 @@ def run_training(stage: int, argv=None):
 
     save_train_checkpoint(
         save_dir, jax.device_get(state.params), global_step,
+        opt_state=jax.device_get(state.opt_state),
         motion_only=(stage == 2), total_limit=None,
     )
     tracker.close()
