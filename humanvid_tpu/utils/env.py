@@ -16,6 +16,12 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_compilation") -> None
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
         return
+    if os.environ.get("HVT_NO_COMPILATION_CACHE"):
+        # Opt-out: stale AOT entries compiled on a different host spam
+        # cpu_aot_loader errors (harmless but noisy/slow); the multi-chip
+        # dryrun subprocess sets this for a quiet, self-contained run.
+        _CACHE_ENABLED = True
+        return
     import jax
     from jax.experimental.compilation_cache import compilation_cache as cc
 
