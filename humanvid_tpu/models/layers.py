@@ -249,15 +249,25 @@ class TemporalAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, frames: Optional[int] = None) -> jnp.ndarray:
+        attn = MultiHeadAttention(
+            query_dim=self.dim, heads=self.heads, head_dim=self.dim // self.heads,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
+        )
+        if frames is not None:
+            # Fused path: x is ((b f), l, c) (spatial layout); PE broadcasts
+            # per frame and attention runs over the frame axis in-kernel.
+            bf, l, c = x.shape
+            if self.use_pe:
+                pe = sinusoidal_positional_encoding(self.max_len, self.dim, dtype=self.dtype)
+                x = (x.reshape(bf // frames, frames, l, c)
+                     + pe[None, :frames, None, :]).reshape(bf, l, c)
+            return attn(x, temporal_frames=frames)
         f = x.shape[1]
         if self.use_pe:
             pe = sinusoidal_positional_encoding(self.max_len, self.dim, dtype=self.dtype)
             x = x + pe[None, :f, :]
-        return MultiHeadAttention(
-            query_dim=self.dim, heads=self.heads, head_dim=self.dim // self.heads,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
-        )(x)
+        return attn(x)
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -276,8 +286,10 @@ class TemporalTransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: ((b l), f, c)
+    def __call__(self, x: jnp.ndarray, frames: Optional[int] = None) -> jnp.ndarray:
+        # x: ((b l), f, c) — or ((b f), l, c) when ``frames`` is given (the
+        # fused Pallas temporal-attention path; LN/FF act on the channel axis
+        # so they are layout-independent)
         for i in range(self.num_attention_blocks):
             n = nn.LayerNorm(
                 epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -287,7 +299,7 @@ class TemporalTransformerBlock(nn.Module):
                 dim=self.dim, heads=self.heads, max_len=self.max_len,
                 use_pe=self.use_pe, dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"attention_blocks_{i}",
-            )(n)
+            )(n, frames=frames)
         n = nn.LayerNorm(
             epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ff_norm"
         )(x)
@@ -318,6 +330,8 @@ class TemporalTransformer(nn.Module):
         # frames == 1: a single frame attends only to itself, so the module
         # reduces to a residual no-op at init (zero-init proj_out) — it still
         # runs so stage-1 and stage-2 parameter structures stay distinct.
+        from ..ops.attention import use_fused_temporal
+
         bf, h, w, c = x.shape
         b = bf // frames
         residual = x
@@ -328,17 +342,31 @@ class TemporalTransformer(nn.Module):
         x = x.reshape(bf, h * w, c)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
 
-        # ((b f), l, c) -> ((b l), f, c)
-        x = rearrange(x, "(b f) l c -> (b l) f c", b=b, f=frames)
-        for i in range(self.depth):
-            x = TemporalTransformerBlock(
-                dim=self.dim, heads=self.heads,
-                num_attention_blocks=self.attention_blocks_per_layer,
-                max_len=self.max_len, use_pe=self.use_pe,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"blocks_{i}",
-            )(x)
-        x = rearrange(x, "(b l) f c -> (b f) l c", b=b, f=frames)
+        # With the Pallas backends, stay in the spatial ((b f), l, c) layout
+        # and attend over frames in-kernel: this removes the two full-tensor
+        # HBM rearranges below AND the padded fp32 (.., f, f) logits that
+        # dominate the XLA path's cost (PERF.md motion-module findings).
+        if use_fused_temporal(frames):
+            for i in range(self.depth):
+                x = TemporalTransformerBlock(
+                    dim=self.dim, heads=self.heads,
+                    num_attention_blocks=self.attention_blocks_per_layer,
+                    max_len=self.max_len, use_pe=self.use_pe,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"blocks_{i}",
+                )(x, frames=frames)
+        else:
+            # ((b f), l, c) -> ((b l), f, c)
+            x = rearrange(x, "(b f) l c -> (b l) f c", b=b, f=frames)
+            for i in range(self.depth):
+                x = TemporalTransformerBlock(
+                    dim=self.dim, heads=self.heads,
+                    num_attention_blocks=self.attention_blocks_per_layer,
+                    max_len=self.max_len, use_pe=self.use_pe,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"blocks_{i}",
+                )(x)
+            x = rearrange(x, "(b l) f c -> (b f) l c", b=b, f=frames)
 
         x = nn.Dense(
             c, dtype=self.dtype, param_dtype=self.param_dtype,

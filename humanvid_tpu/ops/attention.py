@@ -47,6 +47,25 @@ def get_default_attention_backend() -> str:
     return _DEFAULT_BACKEND
 
 
+def use_fused_temporal(frames: int) -> bool:
+    """Whether motion modules should run the Pallas frame-axis attention
+    kernel (spatial layout, no rearranges) instead of the XLA token-layout
+    path. Trace-time decision: on by default whenever a Pallas backend is
+    selected and we're not on the CPU backend (where only the TPU interpreter
+    could run it). ``HVT_TEMPORAL_FUSED=1/0`` forces it (1 is used by CPU
+    tests under ``force_tpu_interpret_mode``)."""
+    import os
+
+    if frames <= 1:
+        return False
+    mode = os.environ.get("HVT_TEMPORAL_FUSED", "auto")
+    if mode != "auto":
+        return mode == "1"
+    import jax
+
+    return _DEFAULT_BACKEND != "xla" and jax.default_backend() != "cpu"
+
+
 def _xla_attention(q, k, v, bias):
     """Reference einsum attention. q:(B,H,Lq,D) k,v:(B,H,Lk,D) bias:(B,1,Lq,Lk)|None."""
     dtype = q.dtype
@@ -149,6 +168,7 @@ class MultiHeadAttention(nn.Module):
         extra_kv: Optional[jnp.ndarray] = None,
         extra_kv_disable: Optional[jnp.ndarray] = None,
         backend: Optional[str] = None,
+        temporal_frames: Optional[int] = None,
     ) -> jnp.ndarray:
         B, Lq, _ = x.shape
         inner = self.heads * self.head_dim
@@ -156,6 +176,27 @@ class MultiHeadAttention(nn.Module):
         dense = partial(
             nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype
         )
+
+        if temporal_frames is not None:
+            # Fused frame-axis attention: x is ((b f), l, c) — the UNet's
+            # native spatial layout — and attention runs over the frame axis
+            # via the Pallas temporal kernel, with NO rearrange to the
+            # ((b l), f, c) token layout and no head split/merge transposes.
+            assert context is None and extra_kv is None, \
+                "temporal attention is self-attention"
+            from .temporal_attention import temporal_attention
+
+            q = dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
+            k = dense(inner, use_bias=self.qkv_bias, name="to_k")(x)
+            v = dense(inner, use_bias=self.qkv_bias, name="to_v")(x)
+            b = B // temporal_frames
+            out = temporal_attention(
+                q.reshape(b, temporal_frames, Lq, inner),
+                k.reshape(b, temporal_frames, Lq, inner),
+                v.reshape(b, temporal_frames, Lq, inner),
+                self.heads,
+            ).reshape(B, Lq, inner)
+            return dense(self.query_dim, use_bias=self.out_bias, name="to_out")(out)
 
         q = dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
         kv_in = kv_src
