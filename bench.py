@@ -98,15 +98,19 @@ def main():
     t_compile = time.time()
     print(f"# compile+first-run took {t_compile - t_setup:.1f}s",
           file=sys.stderr, flush=True)
-    # best of 2: this chip's run-to-run variance is large (observed 0.31 vs
-    # 0.50 f/s for identical programs in different processes — PERF.md)
+    # median of 3 with reported spread: this chip's run-to-run variance is
+    # large (observed 0.31 vs 0.50 f/s for identical programs in different
+    # processes — PERF.md), so a best-of-N would overstate; the median is
+    # robust to a single slow outlier and the spread is printed alongside
     dts = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("HVT_BENCH_RUNS", "3"))):
         t0 = time.time()
         out = run()
         dts.append(time.time() - t0)
-    dt = min(dts)
-    print(f"# timed runs: {['%.1f' % d for d in dts]}s", file=sys.stderr, flush=True)
+    dt = sorted(dts)[len(dts) // 2]
+    print(f"# timed runs: {['%.1f' % d for d in dts]}s "
+          f"(median {dt:.1f}, spread {min(dts):.1f}-{max(dts):.1f})",
+          file=sys.stderr, flush=True)
 
     fps = F / dt
     # the JSON line goes out BEFORE any further device interaction: on the

@@ -64,6 +64,14 @@ class OrientationBatchSampler:
         # so every rank sees the same number of steps (unequal shards would
         # deadlock the collective train step at epoch end)
         even = len(batches) // self.num_replicas * self.num_replicas
+        if even == 0:
+            # fewer batches than replicas: every rank would silently yield
+            # zero batches per epoch and a misconfigured multi-host run would
+            # spin forever — fail loudly instead (ADVICE r1).
+            raise ValueError(
+                f"dataset yields {len(batches)} batches (< num_replicas="
+                f"{self.num_replicas}); shrink batch_size or replica count"
+            )
         return batches[:even][self.rank::self.num_replicas]
 
     def __iter__(self) -> Iterator[List[int]]:

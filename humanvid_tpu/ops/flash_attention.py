@@ -22,6 +22,7 @@ blocks with running max/sum and output accumulator in VMEM scratch.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -29,6 +30,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Tuning env vars, read ONCE at import (they bind at trace time, so mutating
+# them later in a process would silently have no effect — freezing them here
+# makes that explicit):
+#   HVT_FLASH_BQ / HVT_FLASH_BKV — default q/kv block sizes; measured on v5e
+#   at the SD1.5 level-0 shape (bh=192, 6144x12288, d=40): (512, 1024) runs
+#   ~1.5x faster than (256, 512); larger blocks plateau.
+#   HVT_FLASH_BWD — "kernel" (fused Pallas backward) or "chunked" (recompute
+#   + scanned XLA einsum fallback).
+_DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "512"))
+_DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
+_BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
 
 NEG_INF = -1e9
 # Softmax runs in the log2 domain: the TPU's transcendental unit evaluates
@@ -341,9 +354,7 @@ def _flash_vjp_fwd(q, k, v, key_bias, block_q, block_kv):
 
 def _flash_vjp_bwd(block_q, block_kv, res, g):
     q, k, v, key_bias, out, lse = res
-    import os
-
-    if os.environ.get("HVT_FLASH_BWD", "kernel") == "kernel":
+    if _BWD_MODE == "kernel":
         dq, dk, dv = _flash_bwd_kernel(
             q, k, v, key_bias, out, lse, g, block_q=block_q, block_kv=block_kv)
         return dq, dk, dv, None
@@ -391,14 +402,6 @@ def _flash_vjp_bwd_chunked(block_q, block_kv, res, g):
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
-
-
-import os as _os
-
-# measured on v5e at the SD1.5 level-0 shape (bh=192, 6144x12288, d=40):
-# (512, 1024) runs ~1.5x faster than (256, 512); larger blocks plateau
-_DEFAULT_BLOCK_Q = int(_os.environ.get("HVT_FLASH_BQ", "512"))
-_DEFAULT_BLOCK_KV = int(_os.environ.get("HVT_FLASH_BKV", "1024"))
 
 
 def flash_attention(

@@ -44,10 +44,10 @@ class Pose2ImagePipeline:
             system, sched = self.system, self.sched
 
             @partial(jax.jit, donate_argnums=(1,))
-            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
+            def fn(params, latents, ctx, ref_feats, pose_fea, plk, window, ts, pts):
                 return _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
-                    windows, ts, pts, guidance_scale,
+                    window, ts, pts, guidance_scale,
                 )
 
             self._jit_cache[key] = fn
@@ -76,8 +76,7 @@ class Pose2ImagePipeline:
             timestep_spacing=system.config.timestep_spacing,
             steps_offset=system.config.steps_offset,
         )
-        S = num_inference_steps
-        windows = jnp.zeros((S, 1, 1), jnp.int32)  # one window, one frame
+        window = jnp.zeros((1, 1), jnp.int32)  # one window, one frame
 
         ref_img = jnp.asarray(ref_image, dtype)[None] * 2.0 - 1.0
         clip_img = clip_preprocess(jnp.asarray(clip_image, dtype))[None]
@@ -92,7 +91,7 @@ class Pose2ImagePipeline:
 
         latents = self._denoise_fn(guidance_scale)(
             params, latents, ctx, ref_feats, pose_fea, plk,
-            windows, ddim.timesteps, ddim.prev_timesteps,
+            window, ddim.timesteps, ddim.prev_timesteps,
         )
         image = decode_latents(system, params, latents, frame_chunk=1)
         return Pose2ImageOutput(

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..diffusion.ddim import DDIMState, ddim_set_timesteps, ddim_step
 from ..diffusion.schedule import NoiseSchedule
-from .context import all_step_windows
+from .context import uniform_windows
 from .system import CamAnimate, Params
 
 
@@ -72,7 +72,7 @@ def _denoise_scan(
     ref_feats,                   # tuple of (2, l, c)
     pose_fea: jnp.ndarray,       # (f, h8, w8, c0) precomputed pose-guider features
     plucker: jnp.ndarray,        # (f, H, W, 6)
-    windows: jnp.ndarray,        # (S, W, F) int32
+    window: jnp.ndarray,         # (W, F) int32 — ONE window set for all steps
     timesteps: jnp.ndarray,      # (S,)
     prev_timesteps: jnp.ndarray, # (S,)
     guidance_scale: float,
@@ -80,7 +80,12 @@ def _denoise_scan(
     window_axis: str = "data",
     cfg_mode: str = "batched",
 ):
-    S, W, F = windows.shape
+    # The window set is a single (W, F) array by construction: the reference
+    # always calls its context scheduler with step=0 (pipeline_pose2vid_long
+    # .py:484), and taking per-step windows here would let the hoisted
+    # camera/pose conditioning below silently desynchronize from the latent
+    # gather if a caller ever passed phase-shifted windows (VERDICT r1 §7).
+    W, F = window.shape
     do_cfg = guidance_scale > 1.0
     sequential_cfg = do_cfg and cfg_mode == "sequential" and mesh is None
     if sequential_cfg:
@@ -123,23 +128,22 @@ def _denoise_scan(
         feats_b = tuple(shard_rows(jnp.repeat(f, W, 0)) for f in ref_feats)
         ref_disable = None
 
-    # Hoisted conditioning: the window set is identical for every denoising
-    # step (the reference calls its context scheduler with step=0,
-    # pipeline_pose2vid_long.py:484), so the camera encoder + pose features
-    # depend only on windows[0] — computing them once here instead of inside
-    # the scan removes a full CameraPoseEncoder forward (PixelUnshuffle +
-    # resnet + temporal transformer over all window frames) from every step.
-    win0 = windows[0]  # (W, F)
-    plk_w0 = plucker[win0]
+    # Hoisted conditioning: with one window set for the whole sampling run,
+    # the camera encoder + pose features are computed once here instead of
+    # inside the scan — removing a full CameraPoseEncoder forward
+    # (PixelUnshuffle + resnet + temporal transformer over all window frames)
+    # from every step.
+    win = window  # (W, F)
+    plk_w0 = plucker[win]
     cam_w0 = system.camera_encoder.apply(
         params["camera_encoder"],
         plk_w0.reshape((W * F,) + plk_w0.shape[2:]),
         F,
     )  # ((W F), h8, w8, c0)
-    cond = pose_fea[win0].reshape(cam_w0.shape) + cam_w0
+    cond = pose_fea[win].reshape(cam_w0.shape) + cam_w0
 
     def step_fn(latents, scan_in):
-        win, t, prev_t = scan_in  # win: (W, F)
+        t, prev_t = scan_in
         lat_w = latents[win]                       # (W, F, h8, w8, 4)
         h8, w8 = lat_w.shape[2], lat_w.shape[3]
         x = lat_w.reshape((W * F, h8, w8, lat_w.shape[-1]))
@@ -189,7 +193,7 @@ def _denoise_scan(
         latents = ddim_step(sched, noise_pred.astype(latents.dtype), t, prev_t, latents)
         return latents, None
 
-    latents, _ = jax.lax.scan(step_fn, latents, (windows, timesteps, prev_timesteps))
+    latents, _ = jax.lax.scan(step_fn, latents, (timesteps, prev_timesteps))
     return latents
 
 
@@ -298,10 +302,10 @@ class Pose2VideoPipeline:
             donate = () if os.environ.get("HVT_NO_DONATE") else (1,)
 
             @partial(jax.jit, donate_argnums=donate)
-            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
+            def fn(params, latents, ctx, ref_feats, pose_fea, plk, window, ts, pts):
                 latents = _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
-                    windows, ts, pts, guidance_scale, mesh=mesh,
+                    window, ts, pts, guidance_scale, mesh=mesh,
                     cfg_mode=cfg_mode,
                 )
                 video = _decode_body(system, params, latents, decode_chunk,
@@ -320,10 +324,10 @@ class Pose2VideoPipeline:
             system, sched, mesh = self.system, self.sched, self.mesh
 
             @jax.jit
-            def fn(params, latents, ctx, ref_feats, pose_fea, plk, windows, ts, pts):
+            def fn(params, latents, ctx, ref_feats, pose_fea, plk, window, ts, pts):
                 return _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea,
-                    plk, windows, ts, pts, guidance_scale, mesh=mesh,
+                    plk, window, ts, pts, guidance_scale, mesh=mesh,
                     cfg_mode=cfg_mode,
                 )
 
@@ -382,9 +386,10 @@ class Pose2VideoPipeline:
             timestep_spacing=system.config.timestep_spacing,
             steps_offset=system.config.steps_offset,
         )
-        windows = jnp.asarray(all_step_windows(
-            num_inference_steps, f, context_frames, context_stride, context_overlap
-        ))
+        window = jnp.asarray(np.asarray(
+            uniform_windows(0, f, context_frames, context_stride, context_overlap),
+            np.int32,
+        ))  # (W, F): the step-0 window set, shared by all steps (see context.py)
 
         dtype = system.dtype
         ref_img = jnp.asarray(ref_image, dtype)[None] * 2.0 - 1.0
@@ -415,7 +420,7 @@ class Pose2VideoPipeline:
             for k0 in range(0, num_inference_steps, K):
                 latents = chunk_fn(
                     params, latents, ctx, ref_feats, pose_fea, plk,
-                    windows[k0:k0 + K], ddim.timesteps[k0:k0 + K],
+                    window, ddim.timesteps[k0:k0 + K],
                     ddim.prev_timesteps[k0:k0 + K],
                 )
             video = self._decode_only_fn(
@@ -427,7 +432,7 @@ class Pose2VideoPipeline:
                 interpolation_mode, cfg_mode,
             )(
                 params, latents, ctx, ref_feats, pose_fea, plk,
-                windows, ddim.timesteps, ddim.prev_timesteps,
+                window, ddim.timesteps, ddim.prev_timesteps,
             )
         if device_output:
             # leave results on device (callers measuring device throughput or

@@ -109,6 +109,39 @@ def log_validation(pipe, params, batch, out_dir: str, step: int) -> None:
                 cv2.cvtColor((grid * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
 
 
+def log_validation_video(pipe, params, batch, out_dir: str, step: int) -> None:
+    """Stage-2 validation: render the clip of the current batch through the
+    video sampler and save a ref|pose|gen|tgt panel video.
+
+    Reference parity: the reference *intended* stage-appropriate validation
+    (``train_stage_2.py`` imports Pose2VideoPipeline) but its validation path
+    is bit-rotted and never triggered (SURVEY §4); this is the working
+    equivalent — motion modules are exercised end-to-end, not just a single
+    pose2img frame.
+    """
+    from humanvid_tpu.data.datasets import CLIP_MEAN, CLIP_STD
+    from humanvid_tpu.data.video_io import save_video
+
+    pipe.params = params
+    tgt = (np.asarray(batch["tgt"][0], np.float32) + 1.0) / 2.0  # (f, H, W, 3)
+    ref = (np.asarray(batch["ref"][0], np.float32) + 1.0) / 2.0
+    pose = np.asarray(batch["pose"][0], np.float32)
+    plucker = np.asarray(batch["plucker"][0], np.float32)
+    clip_raw = np.clip(
+        np.asarray(batch["clip"][0], np.float32) * CLIP_STD + CLIP_MEAN, 0, 1)
+
+    f = pose.shape[0]
+    out = pipe(ref, pose, plucker, clip_raw, num_inference_steps=8,
+               guidance_scale=3.5, context_frames=f,
+               rng=jax.random.PRNGKey(step))
+    gen = out.videos[0]  # (f, H, W, 3)
+    panels = np.concatenate(
+        [np.broadcast_to(ref[None], gen.shape), pose, gen, tgt], axis=2)
+    os.makedirs(out_dir, exist_ok=True)
+    save_video(panels.astype(np.float32),
+               os.path.join(out_dir, f"val_{step}.mp4"), fps=8.0)
+
+
 def to_train_batch(batch, stage: int):
     """numpy sample dict -> train-step batch (adds frame axis for stage 1)."""
     if stage == 1:
@@ -279,13 +312,25 @@ def run_training(stage: int, argv=None):
     tracker = Tracker(os.path.join(save_dir, "run"), config=dict(cfg))
     val_steps = cfg.get_path("val.validation_steps", 0) or 0
     val_pipe = None
-    epoch = 0
     profiling = False
+    # Exact-resume data order: the sampler's shuffle is a pure function of
+    # (seed, epoch) and every epoch yields len(sampler) batches, so the
+    # epoch/offset at interruption is derivable from step0 alone — fast-forward
+    # to it instead of replaying already-consumed batches from epoch 0
+    # (ADVICE r1; the reference restarts its dataloader on resume).
+    steps_per_epoch = len(sampler)
+    epoch = step0 // steps_per_epoch
+    resume_skip = step0 % steps_per_epoch
+    if step0:
+        logger.info("resume fast-forward: epoch %d, skipping %d batches",
+                    epoch, resume_skip)
 
     while global_step < max_steps:
         sampler.set_epoch(epoch)
+        batches = list(sampler)[resume_skip:]
+        resume_skip = 0
         loader = Loader(
-            dataset, sampler, num_workers=cfg.data.get("num_workers", 4),
+            dataset, batches, num_workers=cfg.data.get("num_workers", 4),
             device_put=lambda b: {k: jax.device_put(v, shard) for k, v in b.items()},
         )
         t_data = time.time()
@@ -308,16 +353,22 @@ def run_training(stage: int, argv=None):
                 tracker.log(global_step, loss=loss,
                             grad_norm=float(aux["grad_norm"]))
             if val_steps and global_step % val_steps == 0:
-                from humanvid_tpu.pipelines import Pose2ImagePipeline
-                if val_pipe is None:
-                    val_pipe = Pose2ImagePipeline(system, None)
+                from humanvid_tpu.pipelines import (
+                    Pose2ImagePipeline, Pose2VideoPipeline)
                 # read from the live state: the jitted step donates its input
                 # state, so earlier host-side param dicts point at deleted
                 # device buffers
-                log_validation(
-                    val_pipe, {**state.params, **state.frozen},
-                    batch, os.path.join(save_dir, "validation"), global_step,
-                )
+                live = {**state.params, **state.frozen}
+                val_dir = os.path.join(save_dir, "validation")
+                if stage == 2:
+                    if val_pipe is None:
+                        val_pipe = Pose2VideoPipeline(system, None)
+                    log_validation_video(val_pipe, live, batch, val_dir,
+                                         global_step)
+                else:
+                    if val_pipe is None:
+                        val_pipe = Pose2ImagePipeline(system, None)
+                    log_validation(val_pipe, live, batch, val_dir, global_step)
                 logger.info("validation render at step %d", global_step)
             if global_step % cfg.get("checkpointing_steps", 5000) == 0:
                 save_train_checkpoint(

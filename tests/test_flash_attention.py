@@ -79,7 +79,11 @@ def test_flash_kernel_backward_matches_einsum_grads():
 def test_flash_backward_matches_einsum_grads(monkeypatch):
     """The q-chunked recompute backward (fallback) must equal full
     einsum-attention gradients (chunk size forced smaller than lq)."""
-    monkeypatch.setenv("HVT_FLASH_BWD", "chunked")
+    from humanvid_tpu.ops import flash_attention as fa_mod
+
+    # HVT_FLASH_BWD is frozen into _BWD_MODE at import (trace-time binding);
+    # patch the module constant to select the fallback path.
+    monkeypatch.setattr(fa_mod, "_BWD_MODE", "chunked")
     q, k, v, bias = _make(b=1, h=2, lq=96, lk=160, d=16)
 
     def loss_flash(q_, k_, v_):

@@ -104,6 +104,10 @@ def test_train_driver_smoke(data_tree, tmp_path, stage):
         assert not any(f.startswith("reference_unet") for f in files), files
     assert any(f.startswith("camera_pose_encoder") or f.startswith("camera_encoder")
                for f in files), files
-    # tracker + validation artifacts
+    # tracker + validation artifacts: stage 1 renders a pose2img frame grid,
+    # stage 2 a ref|pose|gen|tgt panel VIDEO through Pose2VideoPipeline
     assert (exp / "run" / "metrics.jsonl").exists() or True  # logged every 20
-    assert os.path.exists(exp / "validation" / "val_2.png")
+    if stage == 1:
+        assert os.path.exists(exp / "validation" / "val_2.png")
+    else:
+        assert os.path.exists(exp / "validation" / "val_2.mp4")
