@@ -327,6 +327,23 @@ _TRANSLATORS = {
     "clip": _clip_torch_key,
 }
 
+# Pre-diffusers-0.18 attention naming (the 2022-era sd-vae-ft-mse
+# ``diffusion_pytorch_model.bin`` on disk): tried as fallbacks when the
+# primary key is absent, mirroring diffusers' own load-time rename.
+_OLD_NAME_ALIASES = (
+    (".to_q.", ".query."),
+    (".to_k.", ".key."),
+    (".to_v.", ".value."),
+    (".to_out.0.", ".proj_attn."),
+)
+
+
+def _candidate_keys(tkey: str):
+    yield tkey
+    for new, old in _OLD_NAME_ALIASES:
+        if new in tkey:
+            yield tkey.replace(new, old)
+
 
 def convert_state_dict(
     flax_params, torch_sd: TorchDict, model_kind: str,
@@ -342,9 +359,10 @@ def convert_state_dict(
     missing: List[str] = []
     used = set()
     for path, leaf_val in flat.items():
-        tkey = translate(path)
-        if tkey not in torch_sd:
-            missing.append(tkey)
+        tkey = next(
+            (c for c in _candidate_keys(translate(path)) if c in torch_sd), None)
+        if tkey is None:
+            missing.append(translate(path))
             out[path] = leaf_val
             continue
         out[path] = _leaf_transform(path, torch_sd[tkey], np.shape(leaf_val))

@@ -147,10 +147,17 @@ def sd15_unet_inventory(motion: bool = False, mm_max_len: int = 32) -> Inventory
     return inv
 
 
-def animatediff_v3_inventory(max_len: int = 32) -> Inventory:
-    """Motion-module-only keys (what v3_sd15_mm.ckpt contributes)."""
+def animatediff_v3_inventory(max_len: int = 32, include_mid: bool = False) -> Inventory:
+    """Motion-module-only keys (what v3_sd15_mm.ckpt contributes).
+
+    AnimateDiff v3 ships WITHOUT a mid-block motion module (the reference
+    merges it with ``strict=False``, ``unet_3d.py:636-663``, leaving the mid
+    motion module at its zero-``proj_out`` init = residual no-op);
+    ``include_mid=True`` models a v2-style checkpoint that has one."""
     full = sd15_unet_inventory(motion=True, mm_max_len=max_len)
-    return {k: v for k, v in full.items() if ".motion_modules." in k}
+    return {k: v for k, v in full.items()
+            if ".motion_modules." in k
+            and (include_mid or not k.startswith("mid_block."))}
 
 
 def _vae_resnet(inv, p, i, o):
