@@ -48,15 +48,16 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _attend_head(qh, kh, vh, scale):
-    """qh/kh/vh: (f, BL, d) -> out (f, BL, d); all math VMEM-resident.
+    """qh/kh/vh: (BL, f, d) -> out (BL, f, d); all math VMEM-resident.
 
-    The batched dots put the spatial tile (BL) in the MXU batch dimension;
-    logits are (BL, f, f) fp32 and never leave VMEM.
+    The batched dots put the spatial tile (BL) in the MXU batch dimension
+    (Mosaic requires batch dims at position 0); logits are (BL, f, f) fp32
+    and never leave VMEM.
     """
     dtype = qh.dtype
     logits = jax.lax.dot_general(
         qh * dtype.type(scale * LOG2E), kh,
-        (((2,), (2,)), ((1,), (1,))),
+        (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (BL, f_q, f_k), log2 domain
     m = jnp.max(logits, axis=-1, keepdims=True)
@@ -64,28 +65,34 @@ def _attend_head(qh, kh, vh, scale):
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         p.astype(dtype), vh,
-        (((2,), (0,)), ((0,), (1,))),
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (BL, f_q, d)
-    return out.transpose(1, 0, 2).astype(dtype)
+    return out.astype(dtype)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
-    """Blocks (1, f, BL, C); python-unrolled loop over head lane-slices."""
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (f, BL, C)
+    """Blocks (1, f, BL, C); one in-VMEM transpose to the batch-leading
+    (BL, f, C) layout, then a python-unrolled loop over head lane-slices."""
+    q = q_ref[0].transpose(1, 0, 2)  # (BL, f, C)
+    k = k_ref[0].transpose(1, 0, 2)
+    v = v_ref[0].transpose(1, 0, 2)
     d = q.shape[-1] // heads
     outs = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         outs.append(_attend_head(q[:, :, sl], k[:, :, sl], v[:, :, sl], scale))
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).transpose(1, 0, 2)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                 *, heads: int, scale: float):
     """One-pass backward: recompute softmax per tile (full f axis resident),
     emit dq/dk/dv. No residuals beyond q/k/v."""
-    q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]  # (f, BL, C)
+    q = q_ref[0].transpose(1, 0, 2)  # (BL, f, C)
+    k = k_ref[0].transpose(1, 0, 2)
+    v = v_ref[0].transpose(1, 0, 2)
+    g = g_ref[0].transpose(1, 0, 2)
     dtype = q.dtype
     d = q.shape[-1] // heads
     dqs, dks, dvs = [], [], []
@@ -94,7 +101,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         qh, kh, vh, gh = q[:, :, sl], k[:, :, sl], v[:, :, sl], g[:, :, sl]
         logits = jax.lax.dot_general(
             qh * dtype.type(scale * LOG2E), kh,
-            (((2,), (2,)), ((1,), (1,))),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BL, f_q, f_k)
         m = jnp.max(logits, axis=-1, keepdims=True)
@@ -104,39 +111,42 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         # dv[f_k] = sum_{f_q} p^T g
         dv = jax.lax.dot_general(
             p.astype(dtype), gh,
-            (((1,), (0,)), ((0,), (1,))),
+            (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BL, f_k, d)
         # dp[f_q, f_k] = g . v
         dp = jax.lax.dot_general(
             gh, vh,
-            (((2,), (2,)), ((1,), (1,))),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BL, f_q, f_k)
         delta = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - delta)).astype(dtype)  # (BL, f_q, f_k)
         dq = jax.lax.dot_general(
             ds, kh,
-            (((2,), (0,)), ((0,), (1,))),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BL, f_q, d)
         dk = jax.lax.dot_general(
             ds, qh,
-            (((1,), (0,)), ((0,), (1,))),
+            (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BL, f_k, d)
-        dqs.append((dq * scale).transpose(1, 0, 2).astype(dtype))
-        dks.append((dk * scale).transpose(1, 0, 2).astype(dtype))
-        dvs.append(dv.transpose(1, 0, 2).astype(dtype))
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
-    dk_ref[0] = jnp.concatenate(dks, axis=-1)
-    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+        dqs.append((dq * scale).astype(dtype))
+        dks.append((dk * scale).astype(dtype))
+        dvs.append(dv.astype(dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).transpose(1, 0, 2)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).transpose(1, 0, 2)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).transpose(1, 0, 2)
 
 
-def _block_l(l: int, c: int) -> int:
-    bl = _DEFAULT_BLOCK_L
-    if c > 768:
-        bl = max(32, bl // 2)  # keep the (f, BL, C) buffers ~constant bytes
+def _block_l(f: int, l: int, c: int, itemsize: int) -> int:
+    """Spatial-tile width targeting ~1 MB per streamed (f, BL, C) buffer:
+    3 double-buffered inputs + output + the batch-leading transposed copies
+    must fit the 16 MB VMEM scope (verified on v5e: 64 x 24 x 320 x f32
+    blocks OOM at 18 MB; bf16 fits)."""
+    per_row = f * c * itemsize
+    bl = min(_DEFAULT_BLOCK_L, max(16, (1 << 20) // per_row // 16 * 16))
     return min(bl, _ceil_to(l, 16))
 
 
@@ -182,7 +192,7 @@ def _call_bwd(q, k, v, g, heads, bl):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _temporal(q, k, v, heads):
-    bl = _block_l(q.shape[2], q.shape[3])
+    bl = _block_l(q.shape[1], q.shape[2], q.shape[3], q.dtype.itemsize)
     l = q.shape[2]
     out = _call_fwd(_pad_l(q, bl), _pad_l(k, bl), _pad_l(v, bl), heads, bl)
     return out[:, :, :l]
@@ -194,7 +204,7 @@ def _temporal_fwd(q, k, v, heads):
 
 def _temporal_bwd(heads, res, g):
     q, k, v = res
-    bl = _block_l(q.shape[2], q.shape[3])
+    bl = _block_l(q.shape[1], q.shape[2], q.shape[3], q.dtype.itemsize)
     l = q.shape[2]
     dq, dk, dv = _call_bwd(
         _pad_l(q, bl), _pad_l(k, bl), _pad_l(v, bl), _pad_l(g, bl), heads, bl)
