@@ -55,11 +55,19 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref):
     """Grid (bh, q_blocks, kv_blocks); kv is the innermost (sequential) dim.
 
-    Blocks: q (1, block_q, d), k/v (1, block_kv, d), bias (1, 1, block_kv).
+    Blocks: q (1, block_q, d+1), k (1, block_kv, d+1), v (1, block_kv, d).
+    The softmax scale, the log2(e) domain factor AND the per-key additive
+    bias are pre-folded into the operands by the wrapper (q carries a ones
+    column, k carries bias*log2(e) in that column), so the MXU contraction
+    itself produces finished log2-domain logits and the VPU does no per-logit
+    scale/bias work at all — at d=40 the VPU softmax passes are on par with
+    the MXU time, so every eliminated elementwise pass is ~a tenth of the
+    kernel.
+
     Online-softmax state (acc, m, l) lives in VMEM scratch and persists across
     the kv iterations of one (bh, q_block); only one KV block is resident at a
     time, so VMEM stays bounded for any Lk and head dim. The per-row
@@ -76,13 +84,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
     # MXU: keep operands in their storage dtype (bf16 runs at full systolic
     # rate; upcasting first would force the ~4x slower fp32 path) and
-    # accumulate in fp32 via preferred_element_type. log2(e) is folded into
-    # the scale so the softmax runs on the fast exp2 path.
-    q = q_ref[0] * q_ref.dtype.type(scale * LOG2E)
+    # accumulate in fp32 via preferred_element_type.
     logits = jax.lax.dot_general(
-        q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_kv) fp32, log2 domain
-    logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :] * LOG2E
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_kv) fp32, log2 domain, bias included
 
     m_prev, l_prev = m_ref[:], l_ref[:]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -128,19 +134,29 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int,
         v = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, 0)))
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                            constant_values=NEG_INF)
-    # (BH, 1, Lk_pad): the singleton middle dim satisfies the TPU block-shape
-    # rule (block dims must divide (8, 128) or equal the array dims).
-    bias = key_bias[:, None, :]
+    # Fold scale, log2(e) and the per-key bias into the contraction itself:
+    # q' = [q * scale * log2e | 1], k' = [k | bias * log2e], so
+    # q'.k' = logits_log2 + bias_log2 straight off the MXU (the d+1 lane is
+    # free — Mosaic pads lanes to 128 in VMEM either way). One extra 1/40th
+    # column of q/k HBM traffic buys removal of the per-logit scale multiply
+    # and bias broadcast-add VPU passes (each pass is O(bh*lq*lk) elements).
+    # The bias lands in the kernel in q.dtype; the only biases this wrapper
+    # ever receives are 0 / NEG_INF (the CFG reference-KV disable), both
+    # exactly representable in bf16.
+    qs = (q * q.dtype.type(scale * LOG2E)).astype(q.dtype)
+    q_in = jnp.concatenate(
+        [qs, jnp.ones((bh, lq_pad, 1), q.dtype)], axis=-1)
+    k_in = jnp.concatenate(
+        [k, (key_bias[:, :, None] * LOG2E).astype(k.dtype)], axis=-1)
 
     grid = (bh, lq_pad // block_q, lk_pad // block_kv)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d + 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d + 1), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -158,7 +174,7 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v, bias)
+    )(q_in, k_in, v)
     out = out[:, :lq] if lq_pad != lq else out
     if with_lse:
         lse = lse[:, 0, :lq] if lq_pad != lq else lse[:, 0]
