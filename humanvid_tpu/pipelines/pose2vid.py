@@ -79,6 +79,7 @@ def _denoise_scan(
     mesh=None,
     window_axis: str = "data",
     cfg_mode: str = "batched",
+    window_mode: str = "batched",
 ):
     # The window set is a single (W, F) array by construction: the reference
     # always calls its context scheduler with step=0 (pipeline_pose2vid_long
@@ -87,8 +88,20 @@ def _denoise_scan(
     # gather if a caller ever passed phase-shifted windows (VERDICT r1 §7).
     W, F = window.shape
     do_cfg = guidance_scale > 1.0
-    sequential_cfg = do_cfg and cfg_mode == "sequential" and mesh is None
-    if sequential_cfg:
+    sequential_windows = window_mode == "sequential"
+    if sequential_windows:
+        # One window (+ one CFG bank) per UNet pass, lax.map'ed — the
+        # reference's serial inner window loop (pipeline_pose2vid_long.py:514)
+        # as a compiled loop. Peak activation memory is ONE F-frame pass
+        # regardless of clip length: the single-chip long-video mode (the
+        # batched fan-out at 48f would put 3 windows x 24 frames through the
+        # UNet at once and exceed one chip's HBM). cfg_mode is moot here.
+        assert mesh is None, "sequential windows is the single-chip mode"
+    sequential_cfg = (do_cfg and cfg_mode == "sequential" and mesh is None
+                      and not sequential_windows)
+    if sequential_windows:
+        cfg_mult = 1
+    elif sequential_cfg:
         cfg_mult = 1  # two UNet passes of W windows each instead of one of 2W
     else:
         cfg_mult = 2 if do_cfg else 1
@@ -110,7 +123,9 @@ def _denoise_scan(
 
     # context per window-batch row: [uncond]*W + [cond]*W (batched CFG), or
     # separate W-row banks for the sequential mode.
-    if sequential_cfg:
+    if sequential_windows:
+        pass  # raw (bank, 1, d) ctx / ref_feats consumed per window below
+    elif sequential_cfg:
         ctx_u = jnp.repeat(ctx[:1], W, 0)
         ctx_c = jnp.repeat(ctx[1:], W, 0)
         feats_c = tuple(jnp.repeat(f[1:], W, 0) for f in ref_feats)
@@ -158,7 +173,33 @@ def _denoise_scan(
             )
             return eps
 
-        if sequential_cfg:
+        if sequential_windows:
+            cond_w = cond.reshape((W, F) + cond.shape[1:])
+            t1 = jnp.broadcast_to(t.astype(jnp.float32), (1,))
+
+            def one_window(xw_cw):
+                xw, cw = xw_cw  # (F, h8, w8, 4), (F, h8, w8, c0)
+
+                def unet1(ctx1, feats1):
+                    eps1, _ = system.denoising_unet.apply(
+                        params["denoising_unet"], xw, t1, ctx1,
+                        cond_fea=cw, ref_features=feats1, frames=F,
+                    )
+                    return eps1
+
+                if do_cfg:
+                    # uncond without reference KV (see the sequential_cfg
+                    # note below for the equivalence argument)
+                    return jnp.stack([
+                        unet1(ctx[:1], None),
+                        unet1(ctx[1:], tuple(fb[1:] for fb in ref_feats)),
+                    ])  # (2, F, h8, w8, 4)
+                return unet1(ctx, ref_feats)[None]
+
+            eps = jax.lax.map(one_window, (lat_w, cond_w))  # (W, banks, F, ..)
+            eps = jnp.swapaxes(eps, 0, 1)  # (banks, W, F, h8, w8, 4)
+            n_banks = 2 if do_cfg else 1
+        elif sequential_cfg:
             # two W-row passes halve peak activation memory vs one 2W pass.
             # The uncond pass runs WITHOUT the reference KV: its rows mask
             # every reference key (mutual_self_attention.py:166-186 re-runs
@@ -286,13 +327,13 @@ class Pose2VideoPipeline:
 
     def _denoise_decode_fn(self, guidance_scale: float, decode_chunk: int,
                            interpolation_rate: int, interpolation_mode: str,
-                           cfg_mode: str):
+                           cfg_mode: str, window_mode: str):
         """Denoise scan + latent interpolation + chunked VAE decode fused into
         ONE executable: XLA plans HBM for the whole program (two separately
         compiled executables of this size can exceed/fragment device memory),
         and the decode overlaps scheduling with the scan epilogue."""
         key = (float(guidance_scale), decode_chunk, interpolation_rate,
-               interpolation_mode, cfg_mode)
+               interpolation_mode, cfg_mode, window_mode)
         if key not in self._jit_cache:
             import os
 
@@ -306,7 +347,7 @@ class Pose2VideoPipeline:
                 latents = _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea, plk,
                     window, ts, pts, guidance_scale, mesh=mesh,
-                    cfg_mode=cfg_mode,
+                    cfg_mode=cfg_mode, window_mode=window_mode,
                 )
                 video = _decode_body(system, params, latents, decode_chunk,
                                      interpolation_rate, interpolation_mode)
@@ -315,11 +356,12 @@ class Pose2VideoPipeline:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def _denoise_chunk_fn(self, guidance_scale: float, cfg_mode: str):
+    def _denoise_chunk_fn(self, guidance_scale: float, cfg_mode: str,
+                          window_mode: str):
         """Jitted K-step denoise scan WITHOUT the decode epilogue, reused
         across sequential launches (``steps_per_launch``). One compiled
         program serves every chunk: the windows/timestep slices are inputs."""
-        key = ("chunk", float(guidance_scale), cfg_mode)
+        key = ("chunk", float(guidance_scale), cfg_mode, window_mode)
         if key not in self._jit_cache:
             system, sched, mesh = self.system, self.sched, self.mesh
 
@@ -328,7 +370,7 @@ class Pose2VideoPipeline:
                 return _denoise_scan(
                     system, sched, params, latents, ctx, ref_feats, pose_fea,
                     plk, window, ts, pts, guidance_scale, mesh=mesh,
-                    cfg_mode=cfg_mode,
+                    cfg_mode=cfg_mode, window_mode=window_mode,
                 )
 
             self._jit_cache[key] = fn
@@ -364,6 +406,7 @@ class Pose2VideoPipeline:
         interpolation_rate: int = 1,
         interpolation_mode: str = "slerp",
         cfg_mode: str = "batched",
+        window_mode: str = "batched",
         device_output: bool = False,
         steps_per_launch: Optional[int] = None,
     ) -> Pose2VideoOutput:
@@ -416,7 +459,8 @@ class Pose2VideoPipeline:
             K = steps_per_launch
             while num_inference_steps % K:
                 K -= 1
-            chunk_fn = self._denoise_chunk_fn(guidance_scale, cfg_mode)
+            chunk_fn = self._denoise_chunk_fn(guidance_scale, cfg_mode,
+                                              window_mode)
             for k0 in range(0, num_inference_steps, K):
                 latents = chunk_fn(
                     params, latents, ctx, ref_feats, pose_fea, plk,
@@ -429,7 +473,7 @@ class Pose2VideoPipeline:
         else:
             video, latents = self._denoise_decode_fn(
                 guidance_scale, decode_chunk, interpolation_rate,
-                interpolation_mode, cfg_mode,
+                interpolation_mode, cfg_mode, window_mode,
             )(
                 params, latents, ctx, ref_feats, pose_fea, plk,
                 window, ddim.timesteps, ddim.prev_timesteps,

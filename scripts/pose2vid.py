@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--fps", type=int, default=None)
     p.add_argument("--output_dir", default="./output/pose2vid")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--cfg_mode", default="batched", choices=["batched", "sequential"],
+                   help="sequential: two W-row UNet passes (lower peak memory)")
+    p.add_argument("--window_mode", default="batched", choices=["batched", "sequential"],
+                   help="sequential: one context window per UNet pass — the "
+                        "single-chip mode for clips longer than one window")
     return p.parse_args()
 
 
@@ -98,6 +103,8 @@ def main():
                     ref, pose, plucker, clip_raw,
                     num_inference_steps=args.steps,
                     guidance_scale=args.cfg,
+                    cfg_mode=args.cfg_mode,
+                    window_mode=args.window_mode,
                     rng=sub,
                 )
                 name = (

@@ -33,8 +33,9 @@ def setup():
 
 def _run(pipe, setup, **kw):
     _, _, ref, pose, plucker, clip = setup
+    kw.setdefault("guidance_scale", 3.5)
     return pipe(ref, pose, plucker, clip, num_inference_steps=2,
-                guidance_scale=3.5, context_frames=8, context_overlap=4,
+                context_frames=8, context_overlap=4,
                 rng=jax.random.PRNGKey(7), **kw)
 
 
@@ -74,3 +75,23 @@ def test_steps_per_launch_matches_fused(setup):
     chunked = _run(pipe, setup, steps_per_launch=1)
     np.testing.assert_allclose(chunked.latents, fused.latents, atol=2e-4)
     np.testing.assert_allclose(chunked.videos, fused.videos, atol=2e-3)
+
+
+def test_sequential_windows_matches_batched(setup):
+    """window_mode='sequential' (one window per UNet pass via lax.map — the
+    single-chip long-video mode) must reproduce the batched window fan-out."""
+    system, params = setup[0], setup[1]
+    pipe = Pose2VideoPipeline(system, params)
+    batched = _run(pipe, setup)
+    seq = _run(pipe, setup, window_mode="sequential")
+    np.testing.assert_allclose(seq.latents, batched.latents, atol=2e-4)
+    np.testing.assert_allclose(seq.videos, batched.videos, atol=2e-3)
+
+
+def test_sequential_windows_no_cfg(setup):
+    """The no-CFG probe of the sequential-window path."""
+    system, params = setup[0], setup[1]
+    pipe = Pose2VideoPipeline(system, params)
+    batched = _run(pipe, setup, guidance_scale=1.0)
+    seq = _run(pipe, setup, guidance_scale=1.0, window_mode="sequential")
+    np.testing.assert_allclose(seq.latents, batched.latents, atol=2e-4)
