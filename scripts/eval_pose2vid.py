@@ -55,6 +55,10 @@ def parse_args():
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--run_metrics", action="store_true",
                    help="run frame metrics over gen/gt dirs after generation")
+    p.add_argument("--metric_weights", default=None,
+                   help="directory of metric-net torch checkpoints "
+                        "(metrics/weights.py layout); enables FID/FVD/LPIPS/"
+                        "CLIP-sim on top of the weight-free frame metrics")
     return p.parse_args()
 
 
@@ -129,8 +133,10 @@ def main():
 
     if args.run_metrics:
         from humanvid_tpu.metrics.runner import evaluate_dirs
+        from humanvid_tpu.metrics.weights import load_metric_nets
         result = evaluate_dirs(
-            gen_dir, gt_dir, out_json=os.path.join(args.output_dir, "metrics.json")
+            gen_dir, gt_dir, out_json=os.path.join(args.output_dir, "metrics.json"),
+            **load_metric_nets(args.metric_weights),
         )
         print("metrics:", result)
 

@@ -116,3 +116,45 @@ def test_runner_frame_metrics_only(tmp_path):
     assert out["num_videos"] == 1
     assert out["ssim"] > 0.9
     assert out["psnr"] > 30
+
+
+def test_metric_weights_full_gate(tmp_path):
+    """End-to-end quality gate with synthesized random-weight torch
+    checkpoints (VERDICT r1 item 7): every net-based metric (LPIPS, FID,
+    FVD) must run — none skipped — from torch files through the converters
+    to a finite number. CLIP-L is exercised separately in the recorded
+    EVAL_GATE run (300M params is too heavy for CI)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from humanvid_tpu.data.video_io import save_video
+    from humanvid_tpu.metrics.runner import evaluate_dirs
+    from humanvid_tpu.metrics.weights import load_metric_nets
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_random_metric_weights as mk
+
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    rng = np.random.default_rng(0)
+    mk.make_lpips(str(wdir), rng)
+    mk.make_inception(str(wdir), rng)
+    mk.make_i3d(str(wdir), rng)
+
+    nets = load_metric_nets(str(wdir))
+    assert set(nets) == {"lpips_variables", "inception_variables",
+                         "i3d_variables"}
+
+    gen_dir, gt_dir = tmp_path / "gen", tmp_path / "gt"
+    gen_dir.mkdir()
+    gt_dir.mkdir()
+    for i in range(2):
+        clip = rng.random((24, 48, 32, 3)).astype(np.float32)
+        save_video(clip, str(gen_dir / f"c{i}.mp4"))
+        save_video(np.clip(clip + rng.normal(0, 0.05, clip.shape), 0, 1)
+                   .astype(np.float32), str(gt_dir / f"c{i}.mp4"))
+    out = evaluate_dirs(str(gen_dir), str(gt_dir), **nets)
+    for key in ("ssim", "psnr", "l1", "lpips", "fid", "fvd"):
+        assert key in out and np.isfinite(out[key]), (key, out)
