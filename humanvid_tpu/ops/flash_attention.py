@@ -39,9 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 #   ~1.5x faster than (256, 512); larger blocks plateau.
 #   HVT_FLASH_BWD — "kernel" (fused Pallas backward) or "chunked" (recompute
 #   + scanned XLA einsum fallback).
+#   HVT_FLASH_VMEM — scoped-vmem budget for the kernels; the default 32 MB
+#   (over XLA's 16 MB default scope) admits large-kv blocks, e.g. the
+#   full-Lk "single-shot softmax" configuration (bkv=Lk: one kv step, no
+#   online rescale) at the level-0 shape.
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "512"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
+_VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(32 * 1024 * 1024)))
 
 NEG_INF = -1e9
 # Softmax runs in the log2 domain: the TPU's transcendental unit evaluates
@@ -173,6 +178,7 @@ def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q_in, k_in, v)
     out = out[:, :lq] if lq_pad != lq else out
@@ -327,6 +333,7 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, *, block_q: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v, bias3, g, lse3, delta3)
 
@@ -348,6 +355,7 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, *, block_q: int,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v, bias3, g, lse3, delta3)
 

@@ -162,6 +162,15 @@ def _specs(bl, f, c):
     return pl.BlockSpec((1, f, bl, c), lambda b, i: (b, 0, i, 0))
 
 
+# The in-kernel working set exceeds XLA's default 16 MB scoped-vmem budget:
+# the python-unrolled head loop keeps each head's 128-lane-padded fp32 logits
+# and outputs alive until the final concatenate (measured 28.4 MB at
+# bl=64, c=320, 8 heads on v5e).  v5e VMEM is far larger than the default
+# scope; raise the limit rather than shrink the tile (smaller tiles hurt DMA
+# efficiency on the streamed (f, BL, C) buffers).
+_VMEM_LIMIT = int(os.environ.get("HVT_TEMPORAL_VMEM", str(64 * 1024 * 1024)))
+
+
 def _call_fwd(q, k, v, heads, bl):
     b, f, lp, c = q.shape
     return pl.pallas_call(
@@ -172,6 +181,7 @@ def _call_fwd(q, k, v, heads, bl):
         out_shape=jax.ShapeDtypeStruct((b, f, lp, c), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v)
 
@@ -186,6 +196,7 @@ def _call_bwd(q, k, v, g, heads, bl):
         out_shape=[jax.ShapeDtypeStruct((b, f, lp, c), q.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v, g)
 

@@ -1,0 +1,209 @@
+"""Kernel-level microbenchmarks on the real TPU chip.
+
+Measures the two Pallas kernels at the flagship op-point shapes (512x768,
+24 frames — BASELINE config #3) and the full video-UNet pass, printing one
+JSON line per probe.  Companion to bench.py (end-to-end clip throughput);
+this file answers "which kernel moved" when the end-to-end number shifts.
+
+Run on the axon TPU (default platform):  python tools/microbench.py
+Select probes:  python tools/microbench.py flash temporal unet
+
+Timing protocol: jit, one warmup call, then ITERS timed calls; every timed
+call is force-fetched through a derived scalar (block_until_ready can
+ack-return early on the axon tunnel backend — see PERF.md).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from humanvid_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = int(os.environ.get("HVT_MB_ITERS", "5"))
+
+
+def _time(fn, *args):
+    """Median seconds over ITERS calls, each drained via a scalar fetch."""
+    out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    dts = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.sum(leaf[..., :1].astype(jnp.float32)))
+        dts.append(time.time() - t0)
+    return sorted(dts)[len(dts) // 2], dts
+
+
+def _emit(name, seconds, dts, **extra):
+    rec = {"probe": name, "seconds": round(seconds, 5),
+           "spread": [round(min(dts), 5), round(max(dts), 5)], **extra}
+    print(json.dumps(rec), flush=True)
+
+
+def probe_flash():
+    """Level-0 spatial self-attention with reference KV (the dominant shape:
+    bh=8 heads x 24 frames, Lq=6144, Lk=12288, d=40)."""
+    from humanvid_tpu.ops.flash_attention import flash_attention
+
+    b, h, lq, lk, d = 24, 8, 6144, 12288, 40
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
+    bias = jnp.zeros((b, 1, 1, lk), jnp.float32)
+
+    fn = jax.jit(lambda q, k, v, bias: flash_attention(q, k, v, bias))
+    sec, dts = _time(fn, q, k, v, bias)
+    tflops = 4 * b * h * lq * lk * d / sec / 1e12
+    _emit("flash_l0_6144x12288_d40", sec, dts, tflops=round(tflops, 2))
+
+
+def probe_flash_sweep():
+    """Block-size sweep at the level-0 shape, including the full-Lk
+    single-shot-softmax configurations (bkv=Lk: one kv step, no online
+    rescale; needs HVT_FLASH_VMEM >= ~64M)."""
+    from humanvid_tpu.ops.flash_attention import flash_attention
+
+    b, h, lq, lk, d = 24, 8, 6144, 12288, 40
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
+    bias = jnp.zeros((b, 1, 1, lk), jnp.float32)
+
+    for bq, bkv in ((512, 1024), (1024, 1024), (512, 2048), (1024, 2048),
+                    (256, 12288), (512, 12288)):
+        try:
+            fn = jax.jit(functools.partial(flash_attention,
+                                           block_q=bq, block_kv=bkv))
+            sec, dts = _time(fn, q, k, v, bias)
+            tflops = 4 * b * h * lq * lk * d / sec / 1e12
+            _emit(f"flash_sweep_bq{bq}_bkv{bkv}", sec, dts,
+                  tflops=round(tflops, 2))
+        except Exception as e:  # noqa: BLE001 — sweep must survive VMEM OOMs
+            print(f"# flash_sweep bq={bq} bkv={bkv} failed: "
+                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr, flush=True)
+
+
+def probe_temporal():
+    """Motion-module frame attention at each UNet level (b, f=24, l, c) vs
+    the XLA token-layout path it replaces."""
+    from humanvid_tpu.ops.temporal_attention import (
+        temporal_attention, xla_temporal_attention)
+
+    f, heads = 24, 8
+    rng = np.random.default_rng(0)
+    for l, c in ((6144, 320), (1536, 640), (384, 1280), (96, 1280)):
+        q, k, v = (jnp.asarray(rng.normal(size=(1, f, l, c)), jnp.bfloat16)
+                   for _ in range(3))
+        fn = jax.jit(lambda q, k, v: temporal_attention(q, k, v, heads))
+        sec, dts = _time(fn, q, k, v)
+        hbm_gbs = 4 * f * l * c * 2 / sec / 1e9
+        _emit(f"temporal_pallas_l{l}_c{c}", sec, dts, hbm_gbs=round(hbm_gbs, 1))
+        if os.environ.get("HVT_MB_XLA_TEMPORAL"):
+            fn2 = jax.jit(lambda q, k, v: xla_temporal_attention(q, k, v, heads))
+            sec2, dts2 = _time(fn2, q, k, v)
+            _emit(f"temporal_xla_l{l}_c{c}", sec2, dts2)
+
+
+def probe_unet():
+    """One full video-UNet forward (24 frames, 96x64 latents, with motion
+    modules + reference features + pose/camera cond): the CFG-half cost."""
+    from humanvid_tpu.ops.attention import set_default_attention_backend
+    from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
+    from humanvid_tpu.utils.transfer import packed_device_put
+
+    set_default_attention_backend("auto")
+    H, W, F = 768, 512, 24
+    system = CamAnimate(CamAnimateConfig(), dtype=jnp.bfloat16)
+    params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
+                                abstract=True)
+    params = jax.block_until_ready(packed_device_put(params))
+
+    h8, w8 = H // 8, W // 8
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(F, h8, w8, 4)), jnp.bfloat16)
+    t = jnp.full((1,), 500.0, jnp.bfloat16)
+    ctx = jnp.asarray(rng.normal(size=(1, 1, 768)), jnp.bfloat16)
+    ref_lat = jnp.asarray(rng.normal(size=(1, h8, w8, 4)), jnp.bfloat16)
+    cond = jnp.asarray(rng.normal(size=(F, h8, w8, 320)), jnp.bfloat16)
+
+    def ref_feats(params, ref_lat, ctx):
+        _, feats = system.reference_unet.apply(
+            params["reference_unet"], ref_lat, jnp.zeros((1,), jnp.float32),
+            ctx, collect_ref_features=True)
+        return feats
+
+    feats = jax.jit(ref_feats)(params, ref_lat, ctx)
+    jax.tree.map(lambda x: x.block_until_ready(), feats)
+
+    def unet_pass(params, latents, t, ctx, cond, feats):
+        eps, _ = system.denoising_unet.apply(
+            params["denoising_unet"], latents, t, ctx,
+            cond_fea=cond, ref_features=feats, frames=F)
+        return eps
+
+    fn = jax.jit(unet_pass)
+    sec, dts = _time(fn, params, latents, t, ctx, cond, feats)
+    _emit("unet_pass_24f_96x64", sec, dts)
+
+
+def probe_vae():
+    """VAE decode of the 24-frame clip at 768x512 (chunked like the pipeline)."""
+    from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
+    from humanvid_tpu.utils.transfer import packed_device_put
+
+    H, W, F = 768, 512, 24
+    system = CamAnimate(CamAnimateConfig(), dtype=jnp.bfloat16)
+    params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
+                                abstract=True)
+    dec = jax.block_until_ready(
+        packed_device_put({"vae_decoder": params["vae_decoder"]}))
+
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(F, H // 8, W // 8, 4)), jnp.bfloat16)
+
+    for chunk in (4, 8, 24):
+        def decode(p, lat, _c=chunk):
+            def one(z):
+                return system.vae_decoder.apply(p["vae_decoder"], z)
+            return jax.lax.map(
+                one, lat.reshape(F // _c, _c, H // 8, W // 8, 4))
+
+        fn = jax.jit(decode)
+        sec, dts = _time(fn, dec, lat)
+        _emit(f"vae_decode_24f_768x512_chunk{chunk}", sec, dts)
+        if os.environ.get("HVT_MB_PROFILE_DIR") and chunk == 4:
+            d = os.environ["HVT_MB_PROFILE_DIR"]
+            with jax.profiler.trace(d):
+                for _ in range(2):
+                    out = fn(dec, lat)
+                    float(jnp.sum(out[..., :1].astype(jnp.float32)))
+            print(f"# vae profile written to {d}", file=sys.stderr, flush=True)
+
+
+PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
+          "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["flash", "temporal", "unet", "vae"]
+    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+    for n in names:
+        try:
+            PROBES[n]()
+        except Exception as e:  # noqa: BLE001 — probes are independent
+            print(f"# probe {n} failed: {str(e).splitlines()[0][:300]}",
+                  file=sys.stderr, flush=True)

@@ -1,0 +1,95 @@
+"""Compile (AOT, no execution) the FULL-SCALE stage-2 training step for one
+chip and report XLA's memory analysis.
+
+Round-1 finding (PERF.md): at the reference op-point (bs 1, 24 frames,
+896x512, grad-ckpt on, bf16 frozen masters) XLA needed 18.5 GB vs 15.75 GB
+HBM, dominated by the XLA temporal-attention path's 5.3x-padded fp32 logits
+activations.  The Pallas temporal kernel stores only q/k/v (one-pass
+recompute backward), so this tool is the pass/fail gate for "stage-2 fits a
+single chip".
+
+Usage:  python tools/stage2_memcheck.py [H W F]   (defaults 896 512 24)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from humanvid_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 896
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    F = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+
+    from humanvid_tpu.ops.attention import set_default_attention_backend
+    from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
+    from humanvid_tpu.train import (
+        OptimizerConfig, TrainConfig, TrainState, cast_untrainable,
+        make_optimizer, make_train_step, stage2_trainable)
+
+    set_default_attention_backend("auto")
+
+    cfg = CamAnimateConfig()
+    cfg.denoising_unet.gradient_checkpointing = True
+    system = CamAnimate(cfg, dtype=jnp.bfloat16)
+    all_params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
+                                    abstract=True)
+    frozen = {k: all_params[k] for k in ("vae_encoder", "vae_decoder", "clip")}
+    trainable = {
+        k: all_params[k]
+        for k in ("reference_unet", "denoising_unet", "pose_guider",
+                  "camera_encoder")
+    }
+    # mirror scripts/train_stage_1.py stage-2 bf16 setup: no fp32 masters for
+    # stage-frozen leaves, bf16 Adam first moment
+    trainable = cast_untrainable(trainable, stage2_trainable)
+    tx = make_optimizer(trainable, stage2_trainable,
+                        OptimizerConfig(mu_dtype="bfloat16"))
+    state = jax.eval_shape(
+        lambda t, f: TrainState.create(t, f, tx), trainable, frozen)
+
+    sched = system.make_schedule(beta_schedule="scaled_linear")
+    step = make_train_step(system, sched, TrainConfig(),
+                           trainable_predicate=stage2_trainable)
+
+    sz = system.config.clip.image_size
+    batch = {
+        "tgt": jax.ShapeDtypeStruct((1, F, H, W, 3), jnp.float32),
+        "ref": jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32),
+        "clip": jax.ShapeDtypeStruct((1, sz, sz, 3), jnp.float32),
+        "pose": jax.ShapeDtypeStruct((1, F, H, W, 3), jnp.float32),
+        "plucker": jax.ShapeDtypeStruct((1, F, H, W, 6), jnp.float32),
+    }
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    lowered = jax.jit(step, donate_argnums=(0,)).lower(state, batch, rng)
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    gb = 1 << 30
+    rec = {
+        "op_point": f"{H}x{W}x{F}f bs1 grad-ckpt bf16-masters",
+        "argument_gb": round(ma.argument_size_in_bytes / gb, 3),
+        "output_gb": round(ma.output_size_in_bytes / gb, 3),
+        "temp_gb": round(ma.temp_size_in_bytes / gb, 3),
+        "peak_gb": round((ma.argument_size_in_bytes + ma.temp_size_in_bytes)
+                         / gb, 3),
+        "alias_gb": round(ma.alias_size_in_bytes / gb, 3),
+        "hbm_gb": 15.75,
+    }
+    rec["fits"] = rec["peak_gb"] - rec["alias_gb"] <= rec["hbm_gb"]
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
