@@ -12,18 +12,31 @@ memory-bound, not compute-bound:
   and the PV matmul (~2.4 GB of traffic per level-0 attention call);
 - the head split/merge transposes relayout q/k/v/out four more times.
 
-This kernel instead runs attention **in the spatial layout** ``(b, f, l, c)``
-(the UNet's native ``(b f) h w c`` flattened), so no rearrange is needed at
-all: the grid tiles ``(b, l)``; each step holds the full frame axis and all
-heads of a spatial tile in VMEM and does QK^T -> softmax -> PV per head with
-zero HBM round-trips.  HBM traffic drops to one read of q/k/v and one write
-of out.
+This kernel runs attention **in the spatial layout** ``(b, f, l, c)`` (the
+UNet's native ``(b f) h w c`` flattened), so no rearrange is needed at all.
+
+Formulation — masked-dense tiles.  Per-spatial-position attention is a batch
+of tiny (f x d) @ (d x f) matmuls; lowering that batch directly (one MXU op
+per position) is latency-bound, not MXU-bound (measured 40 ms/call at every
+UNet level, ~9 GB/s effective — worse than the XLA path it replaces).
+Instead, each grid step takes a spatial tile of BL positions and flattens
+``(f, BL, d) -> (f*BL, d)`` — a free relayout, since (f, BL) are the leading
+contiguous axes — then computes ONE dense ``(f*BL, d) @ (d, f*BL)`` logits
+matmul per head.  Cross-position products are invalid; they are masked with
+an iota-generated block mask (row % BL == col % BL keeps exactly the
+same-position pairs) before the in-VMEM softmax, and the PV product
+``(f*BL, f*BL) @ (f*BL, d)`` is then exact: zeroed cross terms contribute
+nothing.  The wasted MXU flops (factor BL) are cheap — the whole op is a few
+GFLOP — and in exchange every matmul has MXU-friendly M/N >= 384 and the
+(BL, f, f) logits never leave VMEM.  At f=24, BL=16 the dense side is
+f*BL = 384 = exactly 3 lane tiles: zero lane padding (vs 5.3x on the XLA
+path).
 
 Because the whole key axis (f) is resident per step, the backward pass needs
 no online-softmax log-sum-exp residual: a single kernel recomputes the
-softmax per tile and emits (dq, dk, dv) in one pass (custom VJP below), so
-training stores only q/k/v — this removes the fp32 padded-logits activations
-that blew the stage-2 single-chip memory budget (PERF.md).
+masked softmax per tile and emits (dq, dk, dv) in one pass (custom VJP
+below), so training stores only q/k/v — this removes the fp32 padded-logits
+activations that blew the stage-2 single-chip memory budget (PERF.md).
 """
 
 from __future__ import annotations
@@ -37,117 +50,118 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LOG2E = 1.4426950408889634
+NEG_INF = -1e9
 
-# Spatial-tile width: sized so one (f=24, BL, c<=768-lane) bf16 buffer stays
-# ~2 MB (3 double-buffered inputs + output fit VMEM). Env-overridable.
-_DEFAULT_BLOCK_L = int(os.environ.get("HVT_TEMPORAL_BL", "64"))
+# Spatial-tile width. f*BL is the dense matmul M/N dim; BL also multiplies
+# the wasted (cross-position) flops, so moderate tiles win: BL=16 -> M=384
+# at f=24. Env-overridable for sweeps.
+_DEFAULT_BLOCK_L = int(os.environ.get("HVT_TEMPORAL_BL", "16"))
+
+# Scoped-VMEM budget for the kernel (the default 16 MB scope is tight for
+# the backward's per-head fp32 (f*BL, f*BL) intermediates at larger BL).
+_VMEM_LIMIT = int(os.environ.get("HVT_TEMPORAL_VMEM", str(64 * 1024 * 1024)))
 
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attend_head(qh, kh, vh, scale):
-    """qh/kh/vh: (BL, f, d) -> out (BL, f, d); all math VMEM-resident.
+def _block_mask(n: int, bl: int) -> jnp.ndarray:
+    """(n, n) fp32 additive mask: 0 where row/col are the same spatial
+    position (row % bl == col % bl), NEG_INF elsewhere. Rows are ordered
+    (frame, position) — the free flattening of a (f, BL, d) tile."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where((r % bl) == (c % bl), 0.0, NEG_INF).astype(jnp.float32)
 
-    The batched dots put the spatial tile (BL) in the MXU batch dimension
-    (Mosaic requires batch dims at position 0); logits are (BL, f, f) fp32
-    and never leave VMEM.
-    """
-    dtype = qh.dtype
-    logits = jax.lax.dot_general(
-        qh * dtype.type(scale * LOG2E), kh,
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (BL, f_q, f_k), log2 domain
+
+def _masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Row softmax of (masked) log2-domain logits; invalid entries -> 0."""
+    logits = logits + mask
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp2(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p.astype(dtype), vh,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (BL, f_q, d)
-    return out.astype(dtype)
+    return p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
-    """Blocks (1, f, BL, C); one in-VMEM transpose to the batch-leading
-    (BL, f, C) layout, then a python-unrolled loop over head lane-slices."""
-    q = q_ref[0].transpose(1, 0, 2)  # (BL, f, C)
-    k = k_ref[0].transpose(1, 0, 2)
-    v = v_ref[0].transpose(1, 0, 2)
-    d = q.shape[-1] // heads
+    """Blocks (1, f, BL, C); flatten to (f*BL, C), one dense masked
+    attention per head over lane-slices of width d = C // heads."""
+    f, bl, c = q_ref.shape[1:]
+    n = f * bl
+    q = q_ref[0].reshape(n, c)
+    k = k_ref[0].reshape(n, c)
+    v = v_ref[0].reshape(n, c)
+    dtype = q.dtype
+    d = c // heads
+    mask = _block_mask(n, bl)
     outs = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        outs.append(_attend_head(q[:, :, sl], k[:, :, sl], v[:, :, sl], scale))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).transpose(1, 0, 2)
+        qh = q[:, sl] * dtype.type(scale * LOG2E)
+        logits = jax.lax.dot_general(
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (n, n), log2 domain
+        p = _masked_softmax(logits, mask)
+        outs.append(jax.lax.dot_general(
+            p.astype(dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).reshape(f, bl, c)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                 *, heads: int, scale: float):
-    """One-pass backward: recompute softmax per tile (full f axis resident),
-    emit dq/dk/dv. No residuals beyond q/k/v."""
-    q = q_ref[0].transpose(1, 0, 2)  # (BL, f, C)
-    k = k_ref[0].transpose(1, 0, 2)
-    v = v_ref[0].transpose(1, 0, 2)
-    g = g_ref[0].transpose(1, 0, 2)
+    """One-pass backward: recompute the masked softmax per tile (full f axis
+    resident), emit dq/dk/dv. No residuals beyond q/k/v. Off-block entries
+    of p are exactly 0, so every dense product below is exact."""
+    f, bl, c = q_ref.shape[1:]
+    n = f * bl
+    q = q_ref[0].reshape(n, c)
+    k = k_ref[0].reshape(n, c)
+    v = v_ref[0].reshape(n, c)
+    g = g_ref[0].reshape(n, c)
     dtype = q.dtype
-    d = q.shape[-1] // heads
+    d = c // heads
+    mask = _block_mask(n, bl)
     dqs, dks, dvs = [], [], []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        qh, kh, vh, gh = q[:, :, sl], k[:, :, sl], v[:, :, sl], g[:, :, sl]
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
         logits = jax.lax.dot_general(
-            qh * dtype.type(scale * LOG2E), kh,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (BL, f_q, f_k)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp2(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+            qh * dtype.type(scale * LOG2E), kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = _masked_softmax(logits, mask)
 
-        # dv[f_k] = sum_{f_q} p^T g
+        # dv = p^T g
         dv = jax.lax.dot_general(
-            p.astype(dtype), gh,
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (BL, f_k, d)
-        # dp[f_q, f_k] = g . v
+            p.astype(dtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dp = g v^T (off-block garbage is killed by the p factor below)
         dp = jax.lax.dot_general(
-            gh, vh,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (BL, f_q, f_k)
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - delta)).astype(dtype)  # (BL, f_q, f_k)
+        ds = (p * (dp - delta)).astype(dtype)
         dq = jax.lax.dot_general(
-            ds, kh,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (BL, f_q, d)
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(
-            ds, qh,
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (BL, f_k, d)
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dqs.append((dq * scale).astype(dtype))
         dks.append((dk * scale).astype(dtype))
         dvs.append(dv.astype(dtype))
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).transpose(1, 0, 2)
-    dk_ref[0] = jnp.concatenate(dks, axis=-1).transpose(1, 0, 2)
-    dv_ref[0] = jnp.concatenate(dvs, axis=-1).transpose(1, 0, 2)
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).reshape(f, bl, c)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).reshape(f, bl, c)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).reshape(f, bl, c)
 
 
 def _block_l(f: int, l: int, c: int, itemsize: int) -> int:
-    """Spatial-tile width targeting ~1 MB per streamed (f, BL, C) buffer:
-    3 double-buffered inputs + output + the batch-leading transposed copies
-    must fit the 16 MB VMEM scope (verified on v5e: 64 x 24 x 320 x f32
-    blocks OOM at 18 MB; bf16 fits)."""
-    per_row = f * c * itemsize
-    bl = min(_DEFAULT_BLOCK_L, max(16, (1 << 20) // per_row // 16 * 16))
-    return min(bl, _ceil_to(l, 16))
+    """Spatial-tile width: the configured default, shrunk to cover small l
+    without excess padding (l is padded up to a multiple of the tile)."""
+    bl = _DEFAULT_BLOCK_L
+    while bl > 8 and bl // 2 >= l:
+        bl //= 2
+    return bl
 
 
 def _pad_l(x, bl):
@@ -160,15 +174,6 @@ def _pad_l(x, bl):
 
 def _specs(bl, f, c):
     return pl.BlockSpec((1, f, bl, c), lambda b, i: (b, 0, i, 0))
-
-
-# The in-kernel working set exceeds XLA's default 16 MB scoped-vmem budget:
-# the python-unrolled head loop keeps each head's 128-lane-padded fp32 logits
-# and outputs alive until the final concatenate (measured 28.4 MB at
-# bl=64, c=320, 8 heads on v5e).  v5e VMEM is far larger than the default
-# scope; raise the limit rather than shrink the tile (smaller tiles hurt DMA
-# efficiency on the streamed (f, BL, C) buffers).
-_VMEM_LIMIT = int(os.environ.get("HVT_TEMPORAL_VMEM", str(64 * 1024 * 1024)))
 
 
 def _call_fwd(q, k, v, heads, bl):

@@ -11,6 +11,12 @@ Select probes:  python tools/microbench.py flash temporal unet
 Timing protocol: jit, one warmup call, then ITERS timed calls; every timed
 call is force-fetched through a derived scalar (block_until_ready can
 ack-return early on the axon tunnel backend — see PERF.md).
+
+Sub-100ms ops are additionally CHAINED: the axon tunnel's scalar fetch costs
+~35 ms of round-trip latency, which swamped the first round of per-op numbers
+(a trivial l=96 temporal call "measured" the same 44 ms as the l=6144 one).
+`_chain` scans N dependent calls inside one executable and divides, so the
+fetch shows up once per N kernel invocations.
 """
 
 import functools
@@ -46,6 +52,19 @@ def _time(fn, *args):
     return sorted(dts)[len(dts) // 2], dts
 
 
+def _chain(op, n=20):
+    """Chain n dependent invocations of op(x, *rest) -> x-like inside one
+    jitted scan; per-call time = total / n.  `rest` rides through as jit
+    ARGUMENTS — never close over device arrays here (constant-lifting
+    deadlocks the axon backend; see the env-quirks memory note)."""
+    def fn(x, *rest):
+        def body(xc, _):
+            return op(xc, *rest), None
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out
+    return fn, n
+
+
 def _emit(name, seconds, dts, **extra):
     rec = {"probe": name, "seconds": round(seconds, 5),
            "spread": [round(min(dts), 5), round(max(dts), 5)], **extra}
@@ -64,8 +83,9 @@ def probe_flash():
     v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
     bias = jnp.zeros((b, 1, 1, lk), jnp.float32)
 
-    fn = jax.jit(lambda q, k, v, bias: flash_attention(q, k, v, bias))
-    sec, dts = _time(fn, q, k, v, bias)
+    fn, n = _chain(lambda q, k, v, bias: flash_attention(q, k, v, bias), 10)
+    sec, dts = _time(jax.jit(fn), q, k, v, bias)
+    sec /= n
     tflops = 4 * b * h * lq * lk * d / sec / 1e12
     _emit("flash_l0_6144x12288_d40", sec, dts, tflops=round(tflops, 2))
 
@@ -86,9 +106,10 @@ def probe_flash_sweep():
     for bq, bkv in ((512, 1024), (1024, 1024), (512, 2048), (1024, 2048),
                     (256, 12288), (512, 12288)):
         try:
-            fn = jax.jit(functools.partial(flash_attention,
-                                           block_q=bq, block_kv=bkv))
-            sec, dts = _time(fn, q, k, v, bias)
+            op = functools.partial(flash_attention, block_q=bq, block_kv=bkv)
+            fn, n = _chain(op, 10)
+            sec, dts = _time(jax.jit(fn), q, k, v, bias)
+            sec /= n
             tflops = 4 * b * h * lq * lk * d / sec / 1e12
             _emit(f"flash_sweep_bq{bq}_bkv{bkv}", sec, dts,
                   tflops=round(tflops, 2))
@@ -108,14 +129,15 @@ def probe_temporal():
     for l, c in ((6144, 320), (1536, 640), (384, 1280), (96, 1280)):
         q, k, v = (jnp.asarray(rng.normal(size=(1, f, l, c)), jnp.bfloat16)
                    for _ in range(3))
-        fn = jax.jit(lambda q, k, v: temporal_attention(q, k, v, heads))
-        sec, dts = _time(fn, q, k, v)
+        fn, n = _chain(lambda q, k, v: temporal_attention(q, k, v, heads))
+        sec, dts = _time(jax.jit(fn), q, k, v)
+        sec /= n
         hbm_gbs = 4 * f * l * c * 2 / sec / 1e9
         _emit(f"temporal_pallas_l{l}_c{c}", sec, dts, hbm_gbs=round(hbm_gbs, 1))
         if os.environ.get("HVT_MB_XLA_TEMPORAL"):
-            fn2 = jax.jit(lambda q, k, v: xla_temporal_attention(q, k, v, heads))
-            sec2, dts2 = _time(fn2, q, k, v)
-            _emit(f"temporal_xla_l{l}_c{c}", sec2, dts2)
+            fn2, n2 = _chain(lambda q, k, v: xla_temporal_attention(q, k, v, heads))
+            sec2, dts2 = _time(jax.jit(fn2), q, k, v)
+            _emit(f"temporal_xla_l{l}_c{c}", sec2 / n2, dts2)
 
 
 def probe_unet():
