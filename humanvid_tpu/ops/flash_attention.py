@@ -35,16 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 # them later in a process would silently have no effect — freezing them here
 # makes that explicit):
 #   HVT_FLASH_BQ / HVT_FLASH_BKV — default q/kv block sizes; measured on v5e
-#   at the SD1.5 level-0 shape (bh=192, 6144x12288, d=40): (512, 1024) runs
-#   ~1.5x faster than (256, 512); larger blocks plateau.
+#   at the SD1.5 level-0 shape (bh=192, 6144x12288, d=40) with chained
+#   (fetch-free) timing: (1024, 2048) = 42.1 TF/s = 69% of the d=40
+#   architectural ceiling, vs 37.3 at (512, 1024) and 39.9 for the full-Lk
+#   single-shot configuration (bq=256, bkv=12288).
 #   HVT_FLASH_BWD — "kernel" (fused Pallas backward) or "chunked" (recompute
 #   + scanned XLA einsum fallback).
 #   HVT_FLASH_VMEM — scoped-vmem budget for the kernels; the default 32 MB
 #   (over XLA's 16 MB default scope) admits large-kv blocks, e.g. the
 #   full-Lk "single-shot softmax" configuration (bkv=Lk: one kv step, no
 #   online rescale) at the level-0 shape.
-_DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "512"))
-_DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
+_DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
+_DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "2048"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
 _VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(32 * 1024 * 1024)))
 
