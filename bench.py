@@ -74,7 +74,7 @@ def main():
         out = pipe(
             ref_image, pose_video, plucker, clip_image,
             num_inference_steps=STEPS, guidance_scale=GUIDANCE,
-            context_frames=24, context_overlap=4, decode_chunk=4,
+            context_frames=24, context_overlap=4, decode_chunk=8,
             # sequential CFG: two 24-row UNet passes per step — the 48-row
             # batched pass exceeds single-chip memory at this op-point
             cfg_mode="sequential",

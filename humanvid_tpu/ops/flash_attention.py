@@ -381,8 +381,13 @@ def _flash_vjp_fwd(q, k, v, key_bias, block_q, block_kv):
 def _flash_vjp_bwd(block_q, block_kv, res, g):
     q, k, v, key_bias, out, lse = res
     if _BWD_MODE == "kernel":
+        # The backward kernels hold several fp32 (block_q, block_kv)
+        # intermediates per step; the forward's tuned (1024, 2048) blocks
+        # would put >24 MB of them in scoped VMEM. Keep the backward at its
+        # proven (512, 1024) independent of the forward tuning.
         dq, dk, dv = _flash_bwd_kernel(
-            q, k, v, key_bias, out, lse, g, block_q=block_q, block_kv=block_kv)
+            q, k, v, key_bias, out, lse, g,
+            block_q=min(block_q, 512), block_kv=min(block_kv, 1024))
         return dq, dk, dv, None
     return _flash_vjp_bwd_chunked(block_q, block_kv, (q, k, v, key_bias), g)
 

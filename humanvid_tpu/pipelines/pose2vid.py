@@ -273,7 +273,10 @@ def _decode_body(system: CamAnimate, params: Params, latents: jnp.ndarray,
         from .interpolation import _interpolate_jit
         dec_in = _interpolate_jit(dec_in, interpolation_rate, interpolation_mode)
     f = dec_in.shape[0]
-    chunk = decode_chunk if f % decode_chunk == 0 else 1
+    # Largest divisor of f within the budget: decode throughput rises steeply
+    # with the frame batch (measured 768x512x24f: chunk 4 = 1.99 s, chunk 8 =
+    # 0.99 s, chunk 24 = 0.85 s — small batches starve the elementwise path).
+    chunk = max(d for d in range(1, min(decode_chunk, f) + 1) if f % d == 0)
     chunks = dec_in.reshape((f // chunk, chunk) + dec_in.shape[1:])
 
     def dec(_, z):
@@ -402,7 +405,7 @@ class Pose2VideoPipeline:
         context_stride: int = 1,
         context_overlap: int = 4,
         rng: Optional[jax.Array] = None,
-        decode_chunk: int = 1,
+        decode_chunk: int = 8,
         interpolation_rate: int = 1,
         interpolation_mode: str = "slerp",
         cfg_mode: str = "batched",

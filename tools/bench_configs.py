@@ -115,7 +115,7 @@ def _bench_vid(system, params, metric, H, W, F, overlap=4):
     def run():
         out = pipe(ref, pose, plk, clip_img,
                    num_inference_steps=30, guidance_scale=3.5,
-                   context_frames=24, context_overlap=overlap, decode_chunk=4,
+                   context_frames=24, context_overlap=overlap, decode_chunk=8,
                    cfg_mode="sequential", window_mode=window_mode,
                    steps_per_launch=int(os.environ.get("HVT_BENCH_SPL", "6")),
                    device_output=True)
