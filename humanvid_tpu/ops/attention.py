@@ -108,6 +108,23 @@ def _chunked_xla_attention(q, k, v, bias, chunk: Optional[int] = None,
     return out[:, :, :lq]
 
 
+def resolve_attention_backend(backend: Optional[str], lq: int,
+                              head_dim: int) -> str:
+    """Resolve "auto" to a concrete backend for a (Lq, head_dim) shape."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "auto":
+        import os
+
+        long_backend = os.environ.get("HVT_LONG_ATTENTION", "flash")
+        if long_backend == "flash" and head_dim > 256:
+            # huge head dims (the VAE's single 512-wide head) get the chunked
+            # XLA path: one 512-wide kv block saturates VMEM headroom in the
+            # pallas kernel and has been implicated in device faults here
+            long_backend = "chunked"
+        backend = long_backend if lq >= _FLASH_MIN_QLEN else "xla"
+    return backend
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -116,17 +133,7 @@ def dot_product_attention(
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (B, H, L, D) tensors."""
-    backend = backend or _DEFAULT_BACKEND
-    if backend == "auto":
-        import os
-
-        long_backend = os.environ.get("HVT_LONG_ATTENTION", "flash")
-        if long_backend == "flash" and q.shape[-1] > 256:
-            # huge head dims (the VAE's single 512-wide head) get the chunked
-            # XLA path: one 512-wide kv block saturates VMEM headroom in the
-            # pallas kernel and has been implicated in device faults here
-            long_backend = "chunked"
-        backend = long_backend if q.shape[2] >= _FLASH_MIN_QLEN else "xla"
+    backend = resolve_attention_backend(backend, q.shape[2], q.shape[-1])
     if backend == "flash":
         from .flash_attention import flash_attention  # local import: pallas optional
 
@@ -205,26 +212,38 @@ class MultiHeadAttention(nn.Module):
         k = dense(inner, use_bias=self.qkv_bias, name="to_k")(kv_in)
         v = dense(inner, use_bias=self.qkv_bias, name="to_v")(kv_in)
 
-        def split_heads(t):
-            return t.reshape(B, t.shape[1], self.heads, self.head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
-
-        bias = None
+        key_bias = None  # (B, Lk) additive, NEG_INF hides a key from a row
         if extra_kv is not None and extra_kv_disable is not None:
-            # (B,) bool -> bias (B, 1, 1, Lk) with NEG_INF on the appended keys
-            # for disabled rows. Broadcasts over heads and query positions.
+            # CFG reference-KV disable: hide the appended keys from the
+            # uncond rows. Broadcasts over heads and query positions.
             n_extra = extra_kv.shape[1]
             n_self = kv_src.shape[1]
             key_is_extra = jnp.concatenate(
                 [jnp.zeros((n_self,), bool), jnp.ones((n_extra,), bool)]
             )
-            bias = jnp.where(
-                extra_kv_disable[:, None, None, None] & key_is_extra[None, None, None, :],
+            key_bias = jnp.where(
+                extra_kv_disable[:, None] & key_is_extra[None, :],
                 NEG_INF,
                 0.0,
             ).astype(jnp.float32)
 
-        out = dot_product_attention(q, k, v, bias, backend=backend)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+        resolved = resolve_attention_backend(backend, Lq, self.head_dim)
+        if resolved == "flash":
+            # Packed path: the kernel slices heads from the channel axis
+            # internally, so no head split/merge relayout (whose D=40 lane
+            # padding cost 3.2x HBM copies) exists in the program at all.
+            from .flash_attention import flash_attention_packed
+
+            out = flash_attention_packed(q, k, v, self.heads, key_bias)
+        else:
+            def split_heads(t):
+                return t.reshape(
+                    B, t.shape[1], self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+            bias4 = (None if key_bias is None
+                     else key_bias[:, None, None, :])
+            out = dot_product_attention(
+                split_heads(q), split_heads(k), split_heads(v), bias4,
+                backend=resolved)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
         return dense(self.query_dim, use_bias=self.out_bias, name="to_out")(out)

@@ -1,22 +1,35 @@
-"""Pallas TPU flash attention (forward) with per-key additive bias.
+"""Pallas TPU flash attention in the PACKED head layout.
 
-Purpose-built for the CamAnimate attention flavors (SURVEY §2.10: replaces the
-reference's xformers CUDA kernels, ``train_stage_1.py:384-391``):
+Replaces the reference's xformers ``memory_efficient_attention``
+(``/root/reference/src/models/attention.py``, diffusers Attention) for the
+long spatial sequences of the video UNet (Lq up to 6144, Lk up to 12288 with
+reference-feature KV concat, head dim 40/80).
 
-- spatial self-attention with concatenated reference KV (Lk = 2*Lq, up to ~14k
-  keys at 512x896 — the full logits tensor would not fit HBM, so an online-
-  softmax kernel is required, not just faster);
-- CFG "uncond rows ignore the reference keys" expressed as a per-(batch,key)
-  additive bias (0 or -inf), broadcast over heads and query positions — the
-  bias is O(B*Lk), never O(Lq*Lk);
-- SD1.5 head dims (40/80/160) padded to the 128-lane tile inside the wrapper.
+Why packed: the conventional (B, H, L, D) kernel operand layout forces XLA to
+materialize head-split relayout copies whose last dim D=40 lane-pads 40->128
+(3.2x) — measured 672 MB per k/v per level-0 attention in the stage-2
+training step, the single biggest contributor to the 18.5 GB single-chip
+OOM, plus ~7% of the inference UNet pass in relayout copies. This kernel
+instead consumes q/k/v exactly as the surrounding Dense layers produce them:
+``(B, L, C)`` with heads packed in the channel axis (C = heads*head_dim,
+320 -> 384 lanes = 1.2x padding). Heads are peeled off INSIDE the kernel as
+lane slices (the masked-dense temporal kernel proves Mosaic handles d=40
+lane slicing efficiently), so no head split/merge transpose exists anywhere
+in the program, in either direction of either pass.
 
-Backward runs as recompute + XLA einsum attention under ``jax.custom_vjp``
-(correct everywhere; kernel-level bwd is a later optimization), so training
-can use the kernel too.
+Structure per kernel step (grid (B, q_blocks, kv_blocks), kv sequential):
+one python-unrolled loop over heads; per head one MXU contraction
+q_h k_h^T -> fp32 logits in VMEM, online softmax in the log2 domain (the
+TPU's transcendental unit evaluates exp2 natively; scale * log2(e) is folded
+into q once outside the kernel), one PV contraction into a per-head fp32
+VMEM accumulator. The additive per-key bias (the CFG reference-KV disable)
+rides as a (B, Lk) fp32 row, pre-multiplied by log2(e), fused into the same
+VPU pass that subtracts the running max.
 
-Kernel structure: grid over (batch*heads, q blocks); online softmax over kv
-blocks with running max/sum and output accumulator in VMEM scratch.
+The backward needs no O(Lq*Lk) residual: it recomputes p from (q, k, bias)
+and the forward's per-(head, row) log2-domain log-sum-exp, FlashAttention-2
+style — one kernel accumulating dk/dv per kv block, one accumulating dq per
+q block. Training stores only the packed q/k/v/out/lse.
 """
 
 from __future__ import annotations
@@ -41,20 +54,17 @@ from jax.experimental.pallas import tpu as pltpu
 #   single-shot configuration (bq=256, bkv=12288).
 #   HVT_FLASH_BWD — "kernel" (fused Pallas backward) or "chunked" (recompute
 #   + scanned XLA einsum fallback).
-#   HVT_FLASH_VMEM — scoped-vmem budget for the kernels; the default 32 MB
-#   (over XLA's 16 MB default scope) admits large-kv blocks, e.g. the
-#   full-Lk "single-shot softmax" configuration (bkv=Lk: one kv step, no
-#   online rescale) at the level-0 shape.
+#   HVT_FLASH_VMEM — scoped-vmem budget for the kernels (the per-head loop
+#   keeps fp32 (block_q, block_kv) intermediates live; XLA's default 16 MB
+#   scope is too tight for the tuned blocks).
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "2048"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
-_VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(32 * 1024 * 1024)))
+_VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(64 * 1024 * 1024)))
 
 NEG_INF = -1e9
-# Softmax runs in the log2 domain: the TPU's transcendental unit evaluates
-# exp2 natively, so log2(e) is folded into the Q scale / bias once and every
-# exp in the inner loop becomes an exp2. The saved log-sum-exp is therefore
-# in LOG2 units; the backward kernels exp2 with it symmetrically.
+# Softmax runs in the log2 domain; the saved log-sum-exp is in LOG2 units and
+# the backward kernels exp2 with it symmetrically.
 LOG2E = 1.4426950408889634
 
 
@@ -62,135 +72,125 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref):
-    """Grid (bh, q_blocks, kv_blocks); kv is the innermost (sequential) dim.
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
 
-    Blocks: q (1, block_q, d+1), k (1, block_kv, d+1), v (1, block_kv, d).
-    The softmax scale, the log2(e) domain factor AND the per-key additive
-    bias are pre-folded into the operands by the wrapper (q carries a ones
-    column, k carries bias*log2(e) in that column), so the MXU contraction
-    itself produces finished log2-domain logits and the VPU does no per-logit
-    scale/bias work at all — at d=40 the VPU softmax passes are on par with
-    the MXU time, so every eliminated elementwise pass is ~a tenth of the
-    kernel.
 
-    Online-softmax state (acc, m, l) lives in VMEM scratch and persists across
-    the kv iterations of one (bh, q_block); only one KV block is resident at a
-    time, so VMEM stays bounded for any Lk and head dim. The per-row
-    log-sum-exp is emitted for the backward kernels.
-    """
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *scratch,
+                heads: int):
+    """Blocks: q (1, bq, C) PRE-SCALED by scale*log2e, k/v (1, bkv, C),
+    bias (1, 1, bkv) fp32 pre-multiplied by log2e. Scratch: per-head fp32
+    acc (bq, d), m (bq, 1), l (bq, 1)."""
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
+    accs, ms, ls = (scratch[:heads], scratch[heads:2 * heads],
+                    scratch[2 * heads:])
+    c = q_ref.shape[-1]
+    d = c // heads
 
     @pl.when(j == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        for h in range(heads):
+            accs[h][:] = jnp.zeros_like(accs[h])
+            ms[h][:] = jnp.full_like(ms[h], -jnp.inf)
+            ls[h][:] = jnp.zeros_like(ls[h])
 
-    # MXU: keep operands in their storage dtype (bf16 runs at full systolic
-    # rate; upcasting first would force the ~4x slower fp32 path) and
-    # accumulate in fp32 via preferred_element_type.
-    logits = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, block_kv) fp32, log2 domain, bias included
-
-    m_prev, l_prev = m_ref[:], l_ref[:]
-    m_cur = jnp.max(logits, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(logits - m_new)
-    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias_row = bias_ref[0, 0][None, :]  # (1, bkv) fp32, log2 units
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        # MXU: operands stay in their storage dtype (bf16 runs at full
+        # systolic rate); fp32 accumulation via preferred_element_type.
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_row  # (bq, bkv), log2 domain, bias included
+        m_prev, l_prev = ms[h][:], ls[h][:]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(logits - m_new)
+        ls[h][:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        ms[h][:] = m_new
+        accs[h][:] = accs[h][:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == num_kv - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_ref[:] + jnp.log2(l_ref[:]))[:, 0]  # log2 units
+        o_ref[0] = jnp.concatenate(
+            [(accs[h][:] / ls[h][:]).astype(o_ref.dtype)
+             for h in range(heads)], axis=-1)
+        lse_ref[0] = jnp.stack(
+            [(ms[h][:] + jnp.log2(ls[h][:]))[:, 0] for h in range(heads)],
+            axis=0)  # (heads, bq), log2 units
 
 
-def _flash_fwd(q, k, v, key_bias, *, block_q: int, block_kv: int,
+def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
                with_lse: bool = False):
-    """q: (BH, Lq, D) k/v: (BH, Lk, D) key_bias: (BH, Lk) -> (BH, Lq, D).
+    """q: (B, Lq, C) k/v: (B, Lk, C) key_bias: (B, Lk) -> (B, Lq, C).
 
     Only the sequence axes are padded to block multiples (often a no-op for
-    the SD latent shapes). The head dim stays LOGICAL — a block's last dim may
-    equal the full array dim, and Mosaic pads the lanes in VMEM — so no 3x
-    HBM copies of q/k/v for d=40/80 heads (a multi-GB transient per attention
-    layer inside the denoise scan at batch 48).
-
-    ``with_lse=True`` also returns the per-row log-sum-exp (BH, Lq) fp32
-    (the residual the backward kernels need).
+    the SD latent shapes); the channel axis keeps the packed layout end to
+    end. ``with_lse=True`` also returns the per-(head, row) log-sum-exp
+    (B, heads, Lq) fp32 in log2 units (the backward's residual).
     """
-    bh, lq, d = q.shape
+    b, lq, c = q.shape
     lk = k.shape[1]
+    d = c // heads
     scale = d ** -0.5
 
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_kv)
+    qs = (q * q.dtype.type(scale * LOG2E)).astype(q.dtype)
     if lq_pad != lq:
-        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0)))
+        qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
     if lk_pad != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, 0)))
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                            constant_values=NEG_INF)
-    # Fold scale, log2(e) and the per-key bias into the contraction itself:
-    # q' = [q * scale * log2e | 1], k' = [k | bias * log2e], so
-    # q'.k' = logits_log2 + bias_log2 straight off the MXU (the d+1 lane is
-    # free — Mosaic pads lanes to 128 in VMEM either way). One extra 1/40th
-    # column of q/k HBM traffic buys removal of the per-logit scale multiply
-    # and bias broadcast-add VPU passes (each pass is O(bh*lq*lk) elements).
-    # The bias lands in the kernel in q.dtype; the only biases this wrapper
-    # ever receives are 0 / NEG_INF (the CFG reference-KV disable), both
-    # exactly representable in bf16.
-    qs = (q * q.dtype.type(scale * LOG2E)).astype(q.dtype)
-    q_in = jnp.concatenate(
-        [qs, jnp.ones((bh, lq_pad, 1), q.dtype)], axis=-1)
-    k_in = jnp.concatenate(
-        [k, (key_bias[:, :, None] * LOG2E).astype(k.dtype)], axis=-1)
+    bias3 = (key_bias * LOG2E).astype(jnp.float32)[:, None, :]
 
-    grid = (bh, lq_pad // block_q, lk_pad // block_kv)
+    grid = (b, lq_pad // block_q, lk_pad // block_kv)
     out, lse = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, heads=heads),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d + 1), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv, d + 1), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, heads, lq_pad), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
+        scratch_shapes=(
+            [pltpu.VMEM((block_q, d), jnp.float32)] * heads
+            + [pltpu.VMEM((block_q, 1), jnp.float32)] * (2 * heads)
         ),
-    )(q_in, k_in, v)
+        compiler_params=_compiler_params(),
+    )(qs, k, v, bias3)
     out = out[:, :lq] if lq_pad != lq else out
     if with_lse:
-        lse = lse[:, 0, :lq] if lq_pad != lq else lse[:, 0]
+        lse = lse[:, :, :lq] if lq_pad != lq else lse
         return out, lse
     return out
 
 
 def _xla_reference(q, k, v, key_bias):
+    """(BH, L, D) einsum attention, the numerics oracle for tests."""
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
     logits = logits + key_bias[:, None, :].astype(jnp.float32)
@@ -199,167 +199,184 @@ def _xla_reference(q, k, v, key_bias):
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
-    """Grid (bh, kv_blocks, q_blocks); q innermost (sequential).
-
-    Recomputes p from (q, k, bias, lse) — no O(Lq*Lk) residual — and
-    accumulates dk/dv for one kv block across all q blocks in VMEM scratch.
-    """
+                dk_ref, dv_ref, *scratch, heads: int, scale: float):
+    """Grid (B, kv_blocks, q_blocks); q innermost (sequential). Recomputes p
+    from (q, k, bias, lse) per head and accumulates per-head dk/dv for one kv
+    block across all q blocks in VMEM scratch."""
     j = pl.program_id(2)
     num_q = pl.num_programs(2)
+    dks, dvs = scratch[:heads], scratch[heads:]
+    c = q_ref.shape[-1]
+    d = c // heads
 
     @pl.when(j == 0)
     def _():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
+        for h in range(heads):
+            dks[h][:] = jnp.zeros_like(dks[h])
+            dvs[h][:] = jnp.zeros_like(dvs[h])
 
-    q = q_ref[0]  # (block_q, d)
-    logits = jax.lax.dot_general(
-        q * q_ref.dtype.type(scale * LOG2E), k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, block_kv), log2 domain
-    logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :] * LOG2E
-    p = jnp.exp2(logits - lse_ref[0, 0][:, None])  # (block_q, block_kv)
-
-    g = g_ref[0]  # (block_q, d)
-    # dv += p^T g
-    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # dp = g v^T ; ds = p * (dp - delta)
-    dp = jax.lax.dot_general(
-        g, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta_ref[0, 0][:, None])  # fp32 (block_q, block_kv)
-    # dk += ds^T q * scale
-    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    bias_row = bias_ref[0, 0][None, :]  # (1, bkv), log2 units
+    dtype = q.dtype
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        logits = jax.lax.dot_general(
+            qh * dtype.type(scale * LOG2E), kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_row  # (bq, bkv)
+        p = jnp.exp2(logits - lse_ref[0, h][:, None])
+        # dv_h += p^T g_h
+        dvs[h][:] = dvs[h][:] + jax.lax.dot_general(
+            p.astype(dtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dp = g_h v_h^T ; ds = p * (dp - delta)
+        dp = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, h][:, None])
+        # dk_h += ds^T q_h * scale
+        dks[h][:] = dks[h][:] + jax.lax.dot_general(
+            ds.astype(dtype), qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
 
     @pl.when(j == num_q - 1)
     def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[0] = jnp.concatenate(
+            [dks[h][:].astype(dk_ref.dtype) for h in range(heads)], axis=-1)
+        dv_ref[0] = jnp.concatenate(
+            [dvs[h][:].astype(dv_ref.dtype) for h in range(heads)], axis=-1)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
-               dq_ref, dq_acc, *, scale: float):
-    """Grid (bh, q_blocks, kv_blocks); kv innermost (sequential)."""
+               dq_ref, *scratch, heads: int, scale: float):
+    """Grid (B, q_blocks, kv_blocks); kv innermost (sequential)."""
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
+    dqs = scratch
+    c = q_ref.shape[-1]
+    d = c // heads
 
     @pl.when(j == 0)
     def _():
-        dq_acc[:] = jnp.zeros_like(dq_acc)
+        for h in range(heads):
+            dqs[h][:] = jnp.zeros_like(dqs[h])
 
     q = q_ref[0]
-    logits = jax.lax.dot_general(
-        q * q_ref.dtype.type(scale * LOG2E), k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    logits = logits + bias_ref[0, 0].astype(jnp.float32)[None, :] * LOG2E
-    p = jnp.exp2(logits - lse_ref[0, 0][:, None])
-    dp = jax.lax.dot_general(
-        g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta_ref[0, 0][:, None])
-    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
-        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    bias_row = bias_ref[0, 0][None, :]
+    dtype = q.dtype
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        logits = jax.lax.dot_general(
+            qh * dtype.type(scale * LOG2E), kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_row
+        p = jnp.exp2(logits - lse_ref[0, h][:, None])
+        dp = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, h][:, None])
+        dqs[h][:] = dqs[h][:] + jax.lax.dot_general(
+            ds.astype(dtype), kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
 
     @pl.when(j == num_kv - 1)
     def _():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dq_ref[0] = jnp.concatenate(
+            [dqs[h][:].astype(dq_ref.dtype) for h in range(heads)], axis=-1)
 
 
-def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, *, block_q: int,
+def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
                       block_kv: int):
-    """Fused Pallas backward: (dq, dk, dv) via the FlashAttention-2 split —
-    one kernel accumulating dk/dv per kv block, one accumulating dq per q
-    block; peak memory O(block_q * block_kv), everything recomputed from the
-    fp32 per-row log-sum-exp saved by the forward."""
-    bh, lq, d = q.shape
+    """Fused Pallas backward over packed tensors: (dq, dk, dv) via the
+    FlashAttention-2 split — one kernel accumulating dk/dv per kv block, one
+    accumulating dq per q block; peak memory O(block_q * block_kv),
+    everything recomputed from the fp32 per-(head, row) log-sum-exp."""
+    b, lq, c = q.shape
     lk = k.shape[1]
+    d = c // heads
     scale = d ** -0.5
 
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_kv)
+
+    # per-head delta = rowsum(g * out), (B, heads, Lq)
+    delta = jnp.sum(
+        (g.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(b, lq, heads, d), axis=-1).transpose(0, 2, 1)
+
     if lq_pad != lq:
         pad = ((0, 0), (0, lq_pad - lq), (0, 0))
         q = jnp.pad(q, pad)
         g = jnp.pad(g, pad)
-        out = jnp.pad(out, pad)
-        # padded q rows: finite lse keeps exp() well-defined; their g rows are
-        # zero so they contribute nothing to dk/dv, and their dq is sliced off
-        lse = jnp.pad(lse, ((0, 0), (0, lq_pad - lq)))
+        # padded q rows: finite lse keeps exp2() well-defined; their g rows
+        # are zero so they contribute nothing to dk/dv, and their dq is
+        # sliced off
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad - lq)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq)))
     if lk_pad != lk:
         pad = ((0, 0), (0, lk_pad - lk), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                            constant_values=NEG_INF)
-
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    bias3 = key_bias[:, None, :]
-    lse3 = lse[:, None, :]
-    delta3 = delta[:, None, :]
+    bias3 = (key_bias * LOG2E).astype(jnp.float32)[:, None, :]
 
     kv_specs = dict(
-        q=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0)),
-        k=pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0)),
+        q=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, j, 0)),
+        k=pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, i, 0)),
         bias=pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, i)),
-        row=pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, j)),
+        row=pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, j)),
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale),
-        grid=(bh, lk_pad // block_kv, lq_pad // block_q),
+        functools.partial(_dkv_kernel, heads=heads, scale=scale),
+        grid=(b, lk_pad // block_kv, lq_pad // block_q),
         in_specs=[
             kv_specs["q"], kv_specs["k"], kv_specs["k"], kv_specs["bias"],
             kv_specs["q"], kv_specs["row"], kv_specs["row"],
         ],
         out_specs=[
-            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, lk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, c), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_kv, d), jnp.float32),
-            pltpu.VMEM((block_kv, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-    )(q, k, v, bias3, g, lse3, delta3)
+        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32)] * (2 * heads),
+        compiler_params=_compiler_params(),
+    )(q, k, v, bias3, g, lse, delta)
 
     q_specs = dict(
-        q=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        k=pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+        q=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+        k=pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
         bias=pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
-        row=pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+        row=pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, i)),
     )
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale),
-        grid=(bh, lq_pad // block_q, lk_pad // block_kv),
+        functools.partial(_dq_kernel, heads=heads, scale=scale),
+        grid=(b, lq_pad // block_q, lk_pad // block_kv),
         in_specs=[
             q_specs["q"], q_specs["k"], q_specs["k"], q_specs["bias"],
             q_specs["q"], q_specs["row"], q_specs["row"],
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-    )(q, k, v, bias3, g, lse3, delta3)
+        out_specs=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)] * heads,
+        compiler_params=_compiler_params(),
+    )(q, k, v, bias3, g, lse, delta)
 
     dq = dq[:, :lq] if lq_pad != lq else dq
     dk = dk[:, :lk] if lk_pad != lk else dk
@@ -367,55 +384,65 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, *, block_q: int,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, key_bias, block_q, block_kv):
-    return _flash_fwd(q, k, v, key_bias, block_q=block_q, block_kv=block_kv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, key_bias, heads, block_q, block_kv):
+    return _flash_fwd(q, k, v, key_bias, heads, block_q=block_q,
+                      block_kv=block_kv)
 
 
-def _flash_vjp_fwd(q, k, v, key_bias, block_q, block_kv):
-    out, lse = _flash_fwd(q, k, v, key_bias, block_q=block_q,
+def _flash_vjp_fwd(q, k, v, key_bias, heads, block_q, block_kv):
+    out, lse = _flash_fwd(q, k, v, key_bias, heads, block_q=block_q,
                           block_kv=block_kv, with_lse=True)
     return out, (q, k, v, key_bias, out, lse)
 
 
-def _flash_vjp_bwd(block_q, block_kv, res, g):
+def _flash_vjp_bwd(heads, block_q, block_kv, res, g):
     q, k, v, key_bias, out, lse = res
     if _BWD_MODE == "kernel":
         # The backward kernels hold several fp32 (block_q, block_kv)
-        # intermediates per step; the forward's tuned (1024, 2048) blocks
-        # would put >24 MB of them in scoped VMEM. Keep the backward at its
-        # proven (512, 1024) independent of the forward tuning.
+        # intermediates per head per step; the forward's tuned (1024, 2048)
+        # blocks would overrun scoped VMEM. Keep the backward at (512, 1024)
+        # independent of the forward tuning.
         dq, dk, dv = _flash_bwd_kernel(
-            q, k, v, key_bias, out, lse, g,
+            q, k, v, key_bias, out, lse, g, heads,
             block_q=min(block_q, 512), block_kv=min(block_kv, 1024))
         return dq, dk, dv, None
-    return _flash_vjp_bwd_chunked(block_q, block_kv, (q, k, v, key_bias), g)
+    return _flash_vjp_bwd_chunked(heads, (q, k, v, key_bias), g)
 
 
-def _flash_vjp_bwd_chunked(block_q, block_kv, res, g):
+def _flash_vjp_bwd_chunked(heads, res, g):
     """Recompute-based backward, scanned over q chunks so peak memory is
-    O(BH * block * Lk) instead of the full O(BH * Lq * Lk) logits tensor
-    (at 512x896 training shapes the full logits would be tens of GB)."""
+    O(B * heads * chunk * Lk) instead of the full O(B * heads * Lq * Lk)
+    logits tensor (at 512x896 training shapes the full logits would be tens
+    of GB). Debug/fallback path: splits heads in XLA."""
     q, k, v, key_bias = res
-    bh, lq, d = q.shape
+    b, lq, c = q.shape
     lk = k.shape[1]
+    d = c // heads
     scale = d ** -0.5
     chunk = min(512, lq)
     pad = (-lq) % chunk
-    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
-    gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
+
+    def split(t):
+        ln = t.shape[1]
+        return (t.reshape(b, ln, heads, d).transpose(0, 2, 1, 3)
+                .reshape(b * heads, ln, d))
+
+    qs, gs = split(q), split(g)
+    qp = jnp.pad(qs, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
+    gp = jnp.pad(gs, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
     n = qp.shape[1] // chunk
-    q_chunks = qp.reshape(bh, n, chunk, d).transpose(1, 0, 2, 3)
-    g_chunks = gp.reshape(bh, n, chunk, d).transpose(1, 0, 2, 3)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    bias = key_bias[:, None, :].astype(jnp.float32)  # (bh, 1, lk)
-    # padded q rows see all -inf bias... keep them finite: their grads are
-    # multiplied by zero g anyway, so plain softmax over real keys is fine.
+    q_chunks = qp.reshape(b * heads, n, chunk, d).transpose(1, 0, 2, 3)
+    g_chunks = gp.reshape(b * heads, n, chunk, d).transpose(1, 0, 2, 3)
+    kf = split(k).astype(jnp.float32)
+    vf = split(v).astype(jnp.float32)
+    bias = jnp.repeat(key_bias, heads, axis=0)[:, None, :].astype(jnp.float32)
+    # padded q rows see plain softmax over real keys — their grads are
+    # multiplied by zero g anyway.
 
     def step(carry, qg):
         dk_acc, dv_acc = carry
-        qc, gc = qg  # (bh, chunk, d)
+        qc, gc = qg  # (b*heads, chunk, d)
         logits = jnp.einsum("bqd,bkd->bqk", qc * scale, kf) + bias
         p = jax.nn.softmax(logits, axis=-1)
         dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, gc)
@@ -426,13 +453,39 @@ def _flash_vjp_bwd_chunked(block_q, block_kv, res, g):
         dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, qc) * scale
         return (dk_acc, dv_acc), dq_c
 
-    zeros = jnp.zeros((bh, lk, d), jnp.float32)
+    zeros = jnp.zeros((b * heads, lk, d), jnp.float32)
     (dk, dv), dq_chunks = jax.lax.scan(step, (zeros, zeros), (q_chunks, g_chunks))
-    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, n * chunk, d)[:, :lq]
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(b * heads, n * chunk, d)[:, :lq]
+
+    def merge(t, ln):
+        return (t.reshape(b, heads, ln, d).transpose(0, 2, 1, 3)
+                .reshape(b, ln, c))
+
+    return (merge(dq, lq).astype(q.dtype), merge(dk, lk).astype(k.dtype),
+            merge(dv, lk).astype(v.dtype), None)
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention_packed(
+    q: jnp.ndarray,  # (B, Lq, C) — heads packed in the channel axis
+    k: jnp.ndarray,  # (B, Lk, C)
+    v: jnp.ndarray,  # (B, Lk, C)
+    heads: int,
+    key_bias: Optional[jnp.ndarray] = None,  # (B, Lk) additive, fp32
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+) -> jnp.ndarray:
+    """Multi-head attention without ever materializing a head-split layout."""
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    assert c % heads == 0, (c, heads)
+    if key_bias is None:
+        key_bias = jnp.zeros((b, lk), jnp.float32)
+    bq = min(block_q or _DEFAULT_BLOCK_Q, _ceil_to(lq, 128))
+    bkv = min(block_kv or _DEFAULT_BLOCK_KV, _ceil_to(lk, 128))
+    return _flash(q, k, v, key_bias.astype(jnp.float32), heads, bq, bkv)
 
 
 def flash_attention(
@@ -443,20 +496,23 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
 ) -> jnp.ndarray:
-    """(B, H, L, D) attention; bias (B, 1, Lq, Lk) must be q-independent
-    (broadcast over queries) — reduced internally to a per-key bias."""
+    """(B, H, L, D) adapter over the packed kernel; bias (B, 1, Lq, Lk) must
+    be q-independent (broadcast over queries) — reduced to a per-key bias.
+
+    Production code should prefer ``flash_attention_packed`` — this adapter
+    reintroduces the head merge/split relayout at its boundary.
+    """
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if bias is None:
-        key_bias = jnp.zeros((b, lk), jnp.float32)
+        key_bias = None
     else:
         # accept (B, 1, 1, Lk) or (B, 1, Lq, Lk) with q-independent rows
         key_bias = bias[:, 0, 0, :].astype(jnp.float32)
-    key_bias = jnp.repeat(key_bias, h, axis=0) if h > 1 else key_bias
-    qf = q.reshape(b * h, lq, d)
-    kf = k.reshape(b * h, lk, d)
-    vf = v.reshape(b * h, lk, d)
-    bq = min(block_q or _DEFAULT_BLOCK_Q, _ceil_to(lq, 128))
-    bkv = min(block_kv or _DEFAULT_BLOCK_KV, _ceil_to(lk, 128))
-    out = _flash(qf, kf, vf, key_bias, bq, bkv)
-    return out.reshape(b, h, lq, d)
+
+    def pack(t):
+        return t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], h * d)
+
+    out = flash_attention_packed(pack(q), pack(k), pack(v), h, key_bias,
+                                 block_q, block_kv)
+    return out.reshape(b, lq, h, d).transpose(0, 2, 1, 3)

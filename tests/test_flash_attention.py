@@ -104,3 +104,44 @@ def test_flash_backward_matches_einsum_grads(monkeypatch):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_flash_packed_interface_matches_reference():
+    """The packed (B, L, C) interface — what MultiHeadAttention calls in
+    production — against the split-head oracle, fwd + kernel bwd."""
+    from humanvid_tpu.ops.flash_attention import flash_attention_packed
+
+    b, heads, lq, lk, d = 2, 4, 192, 320, 16
+    c = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, lq, c), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, c), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, c), jnp.float32)
+    key_bias = jnp.where(
+        (jnp.arange(b) == 0)[:, None] & (jnp.arange(lk) >= lq)[None, :],
+        -1e9, 0.0).astype(jnp.float32)
+
+    def split(t):
+        return (t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
+                .reshape(b * heads, t.shape[1], d))
+
+    def loss_packed(q_, k_, v_):
+        out = flash_attention_packed(q_, k_, v_, heads, key_bias,
+                                     block_q=128, block_kv=128)
+        return (out.astype(jnp.float32) ** 2).sum(), out
+
+    def loss_ref(q_, k_, v_):
+        out = _xla_reference(split(q_), split(k_), split(v_),
+                             jnp.repeat(key_bias, heads, axis=0))
+        merged = (out.reshape(b, heads, -1, d).transpose(0, 2, 1, 3)
+                  .reshape(b, -1, c))
+        return (merged.astype(jnp.float32) ** 2).sum(), merged
+
+    with pltpu.force_tpu_interpret_mode():
+        (l_p, out_p), g_p = jax.value_and_grad(
+            loss_packed, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    (l_r, out_r), g_r = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5)
+    for a, b_ in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)

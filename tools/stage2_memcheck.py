@@ -40,8 +40,11 @@ def main():
 
     set_default_attention_backend("auto")
 
+    import dataclasses
+
     cfg = CamAnimateConfig()
-    cfg.denoising_unet.gradient_checkpointing = True
+    cfg = dataclasses.replace(cfg, denoising_unet=dataclasses.replace(
+        cfg.denoising_unet, gradient_checkpointing=True))
     system = CamAnimate(cfg, dtype=jnp.bfloat16)
     all_params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
                                     abstract=True)
