@@ -56,11 +56,14 @@ from jax.experimental.pallas import tpu as pltpu
 #   + scanned XLA einsum fallback).
 #   HVT_FLASH_VMEM — scoped-vmem budget for the kernels (the per-head loop
 #   keeps fp32 (block_q, block_kv) intermediates live; XLA's default 16 MB
-#   scope is too tight for the tuned blocks).
+#   scope is too tight for the tuned blocks). The packed kernel's unrolled
+#   head loop stacks ~69 MB at (1024, 2048) with C=320 (measured by AOT
+#   compile at the SD level-0 shapes), so the budget is 96 MB of the v5e's
+#   128 MB physical VMEM; 64 MB fails to compile.
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "2048"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
-_VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(64 * 1024 * 1024)))
+_VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(96 * 1024 * 1024)))
 
 NEG_INF = -1e9
 # Softmax runs in the log2 domain; the saved log-sum-exp is in LOG2 units and

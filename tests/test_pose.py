@@ -59,6 +59,57 @@ def test_onnx_reader_roundtrip(tmp_path):
     np.testing.assert_array_equal(tensors["bias"], [7, -1])
 
 
+def test_onnx_reader_real_torch_export(tmp_path):
+    """Read a file produced by torch's REAL ONNX protobuf encoder (the C++
+    serializer behind torch.onnx.export), not a hand-encoded message — guards
+    the raw-protobuf reader against official field layout/ordering. The
+    reference consumes such files through onnxruntime
+    (/root/reference/src/dwpose/wholebody.py:14-27)."""
+    import torch
+    from torch import nn
+
+    from humanvid_tpu.pose.onnx_reader import read_onnx_initializers
+
+    # the final export step imports the `onnx` package only to inline
+    # onnxscript custom functions (none here); skip it offline
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda proto, custom_opsets: proto
+    try:
+        torch.manual_seed(0)
+        m = nn.Sequential(
+            nn.Conv2d(3, 8, 3, padding=1), nn.BatchNorm2d(8), nn.SiLU(),
+            nn.Conv2d(8, 4, 1),
+        )
+        m.eval()
+        with torch.no_grad():
+            m[1].running_mean.normal_()
+            m[1].running_var.uniform_(0.5, 2.0)
+        path = str(tmp_path / "real.onnx")
+        torch.onnx.export(m, (torch.randn(1, 3, 16, 16),), path, dynamo=False)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+    tensors = read_onnx_initializers(path)
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+
+    # unfused conv comes through bit-exact
+    np.testing.assert_array_equal(tensors["3.weight"], sd["3.weight"])
+    np.testing.assert_array_equal(tensors["3.bias"], sd["3.bias"])
+
+    # the exporter folds BN into the first conv; verify the folded weights
+    # numerically against manual folding of the original parameters
+    fused_w = next(v for k, v in tensors.items()
+                   if v.ndim == 4 and v.shape == (8, 3, 3, 3))
+    fused_b = next(v for k, v in tensors.items() if v.shape == (8,))
+    inv_std = 1.0 / np.sqrt(sd["1.running_var"] + 1e-5)
+    want_w = sd["0.weight"] * (sd["1.weight"] * inv_std)[:, None, None, None]
+    want_b = (sd["0.bias"] - sd["1.running_mean"]) * sd["1.weight"] * inv_std \
+        + sd["1.bias"]
+    np.testing.assert_allclose(fused_w, want_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fused_b, want_b, rtol=1e-5, atol=1e-6)
+
+
 # --- YOLOX -------------------------------------------------------------------
 
 def test_yolox_decode_shapes(rng):
