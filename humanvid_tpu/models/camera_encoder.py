@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
+from ..ops.attention import use_fused_temporal
 from ..ops.conv import pixel_unshuffle
 from .configs import CameraEncoderConfig
 from .layers import TemporalTransformerBlock
@@ -72,16 +73,26 @@ class CameraPoseEncoder(nn.Module):
                     param_dtype=self.param_dtype, name=f"res_{i}_{j}",
                 )(x)
                 bf, h, w, c = x.shape
-                x = rearrange(x, "(b f) h w c -> (b h w) f c", f=frames)
-                x = TemporalTransformerBlock(
+                block = TemporalTransformerBlock(
                     dim=ch, heads=cfg.num_heads,
                     num_attention_blocks=len(cfg.attention_block_types),
                     max_len=cfg.position_encoding_max_len,
                     use_pe=cfg.position_encoding,
+                    ff_chunk_tokens=cfg.ff_chunk_tokens,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"attn_{i}_{j}",
-                )(x)
-                x = rearrange(x, "(b h w) f c -> (b f) h w c", h=h, w=w, f=frames)
+                )
+                if use_fused_temporal(frames):
+                    # stay in the spatial layout; the Pallas kernel attends
+                    # over frames in-kernel (same win as the motion modules:
+                    # no (b f) l c <-> (b l) f c HBM rearranges, no padded
+                    # fp32 (.., f, f) logits)
+                    x = block(x.reshape(bf, h * w, c), frames=frames)
+                    x = x.reshape(bf, h, w, c)
+                else:
+                    x = rearrange(x, "(b f) h w c -> (b h w) f c", f=frames)
+                    x = block(x)
+                    x = rearrange(x, "(b h w) f c -> (b f) h w c", h=h, w=w, f=frames)
             x = nn.Conv(
                 ch, (1, 1), use_bias=False, kernel_init=nn.initializers.zeros,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"zero_conv_{i}",

@@ -57,6 +57,10 @@ class UNetConfig:
     # configs/train/stage2.yaml:18 / unet_3d_blocks.py:409-434): remat each
     # resnet/spatial/motion block so only block boundaries are saved.
     gradient_checkpointing: bool = False
+    # token-axis FF chunking for training memory (0 = off); see
+    # layers.GEGLUFeedForward. 1024 caps the level-0 GEGLU inner temps at
+    # ~120 MB/chunk at the stage-2 op-point (vs 840 MB unchunked).
+    ff_chunk_tokens: int = 0
 
     @property
     def time_embed_dim(self) -> int:
@@ -87,6 +91,7 @@ class CameraEncoderConfig:
     attention_block_types: Tuple[str, ...] = ("Temporal_Self",)
     position_encoding: bool = True
     position_encoding_max_len: int = 16  # 16 stage 1 / 24 stage 2+inference
+    ff_chunk_tokens: int = 0  # training-memory FF chunking (0 = off)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,20 +30,51 @@ from ..ops.embeddings import sinusoidal_positional_encoding
 
 
 class GEGLUFeedForward(nn.Module):
-    """diffusers ``FeedForward(activation_fn="geglu")``: Dense(d->8d) split-gate, Dense(4d->d)."""
+    """diffusers ``FeedForward(activation_fn="geglu")``: Dense(d->8d) split-gate, Dense(4d->d).
+
+    ``chunk_tokens > 0`` scans the FF over token-axis chunks with per-chunk
+    rematerialization: the (B, L, 8d) GEGLU inner activation — 840 MB per
+    level-0 block at the stage-2 op-point, the largest HLO temps in the
+    single-chip training step — never materializes beyond one chunk. Param
+    structure and numerics are identical to the unchunked path (the FF is
+    pointwise over tokens); leave 0 for inference, where one big MXU
+    contraction is fastest.
+    """
 
     dim: int
     mult: int = 4
+    chunk_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def _core(self, x):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+
+    @nn.compact
+    def __call__(self, x):
+        l = x.shape[1]
+        ct = self.chunk_tokens
+        if not ct or l <= ct:
+            return self._core(x)
+        n = -(-l // ct)
+        xp = jnp.pad(x, ((0, 0), (0, n * ct - l), (0, 0))) if n * ct != l else x
+        xs = jnp.moveaxis(xp.reshape(x.shape[0], n, ct, x.shape[-1]), 1, 0)
+
+        def body(mdl, carry, xc):
+            return carry, GEGLUFeedForward._core(mdl, xc)
+
+        scanned = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=0, out_axes=0,
+        )
+        _, ys = scanned(self, None, xs)
+        y = jnp.moveaxis(ys, 0, 1).reshape(x.shape[0], n * ct, self.dim)
+        return y[:, :l] if n * ct != l else y
 
 
 class ResnetBlock(nn.Module):
@@ -145,6 +176,7 @@ class TransformerBlock(nn.Module):
     dim: int
     heads: int
     context_dim: int = 768
+    ff_chunk_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -174,7 +206,8 @@ class TransformerBlock(nn.Module):
         )(ln("norm2")(x), context=context)
 
         x = x + GEGLUFeedForward(
-            dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+            dim=self.dim, chunk_tokens=self.ff_chunk_tokens,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(ln("norm3")(x))
         return x, norm1
 
@@ -191,6 +224,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     context_dim: int = 768
     norm_eps: float = 1e-6
+    ff_chunk_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -223,6 +257,7 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             x, norm1 = TransformerBlock(
                 dim=self.dim, heads=self.heads, context_dim=self.context_dim,
+                ff_chunk_tokens=self.ff_chunk_tokens,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )(x, context, ref_feature=ref_feature, ref_disable=ref_disable)
             norm1_outs.append(norm1)
@@ -282,6 +317,7 @@ class TemporalTransformerBlock(nn.Module):
     num_attention_blocks: int = 2
     max_len: int = 32
     use_pe: bool = True
+    ff_chunk_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -304,7 +340,8 @@ class TemporalTransformerBlock(nn.Module):
             epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ff_norm"
         )(x)
         return x + GEGLUFeedForward(
-            dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+            dim=self.dim, chunk_tokens=self.ff_chunk_tokens,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(n)
 
 
@@ -322,6 +359,7 @@ class TemporalTransformer(nn.Module):
     max_len: int = 32
     use_pe: bool = True
     norm_eps: float = 1e-6
+    ff_chunk_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -352,6 +390,7 @@ class TemporalTransformer(nn.Module):
                     dim=self.dim, heads=self.heads,
                     num_attention_blocks=self.attention_blocks_per_layer,
                     max_len=self.max_len, use_pe=self.use_pe,
+                    ff_chunk_tokens=self.ff_chunk_tokens,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"blocks_{i}",
                 )(x, frames=frames)

@@ -62,6 +62,7 @@ class UNetConditionModel(nn.Module):
             attention_blocks_per_layer=len(cfg.motion_attention_types),
             max_len=cfg.motion_max_len,
             use_pe=cfg.motion_position_encoding,
+            ff_chunk_tokens=cfg.ff_chunk_tokens,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
@@ -76,6 +77,7 @@ class UNetConditionModel(nn.Module):
             heads=cfg.attention_heads,
             depth=cfg.transformer_layers,
             context_dim=cfg.cross_attention_dim,
+            ff_chunk_tokens=cfg.ff_chunk_tokens,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,

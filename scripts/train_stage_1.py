@@ -176,16 +176,21 @@ def run_training(stage: int, argv=None):
         base = tiny_config(motion_max_len=cfg.get("n_sample_frames", 8))
     else:
         base = CamAnimateConfig()
+    # FF token chunking (layers.GEGLUFeedForward): on by default whenever
+    # gradient checkpointing is on — it is a pure training-memory lever
+    ff_chunk = int(cfg.solver.get("ff_chunk_tokens", 1024 if grad_ckpt else 0))
     system_cfg = _dc.replace(
         base,
         denoising_unet=_dc.replace(
             base.denoising_unet if use_motion else base.reference_unet,
             gradient_checkpointing=grad_ckpt,
+            ff_chunk_tokens=ff_chunk,
         ),
         camera_encoder=_dc.replace(
             base.camera_encoder,
             position_encoding_max_len=(16 if stage == 1 else 24)
             if cfg.get("model") != "tiny" else base.camera_encoder.position_encoding_max_len,
+            ff_chunk_tokens=ff_chunk,
         ),
     )
     # fp32 master params with (by default) bf16 activations

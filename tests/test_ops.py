@@ -96,3 +96,33 @@ def test_mha_cross_attention_shapes():
     params = mha.init(jax.random.PRNGKey(0), x, context=ctx)
     out = mha.apply(params, x, context=ctx)
     assert out.shape == (2, 12, 64)
+
+
+def test_geglu_ff_chunked_matches_unchunked():
+    """chunk_tokens is a pure memory lever: same params, same values, same
+    grads as the single-contraction path (incl. a non-divisible length)."""
+    from humanvid_tpu.models.layers import GEGLUFeedForward
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 40, 16), jnp.float32)
+    full = GEGLUFeedForward(dim=16)
+    variables = full.init(rng, x)
+
+    for chunk in (16, 40, 13):  # 13 exercises the pad-and-slice path
+        chunked = GEGLUFeedForward(dim=16, chunk_tokens=chunk)
+        # identical param structure: the chunked module accepts the
+        # unchunked variables as-is
+        y_full = full.apply(variables, x)
+        y_chunk = chunked.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(y_chunk), np.asarray(y_full), rtol=2e-5, atol=2e-5)
+
+        def loss(v, mdl):
+            return jnp.sum(mdl.apply(v, x) ** 2)
+
+        g_full = jax.grad(loss)(variables, full)
+        g_chunk = jax.grad(loss)(variables, chunked)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+            g_full, g_chunk)

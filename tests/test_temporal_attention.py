@@ -73,3 +73,34 @@ def test_fused_gate_off_on_cpu():
         assert not attn_mod.use_fused_temporal(24)
     finally:
         attn_mod.set_default_attention_backend(prev)
+
+
+def test_fused_camera_encoder_matches_token_layout(monkeypatch):
+    """CameraPoseEncoder parity between the ((b h w), f, c) XLA layout and the
+    fused spatial-layout Pallas path (incl. chunked FF)."""
+    import dataclasses
+
+    from humanvid_tpu.models.camera_encoder import CameraPoseEncoder
+    from humanvid_tpu.models.configs import CameraEncoderConfig
+
+    frames, H, W = 4, 16, 16
+    cfg = CameraEncoderConfig(channels=(32,), nums_rb=1, num_heads=4,
+                              position_encoding_max_len=8)
+    enc = CameraPoseEncoder(cfg)
+    plucker = jnp.asarray(
+        np.random.default_rng(3).normal(size=(frames, H, W, 6)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), plucker, frames)
+
+    # the zero-init output conv would make every path trivially equal; perturb
+    # all params so the comparison sees real content
+    params = jax.tree.map(lambda a: a + 0.01, params)
+    ref = enc.apply(params, plucker, frames)
+    assert np.abs(np.asarray(ref)).max() > 0
+
+    monkeypatch.setenv("HVT_TEMPORAL_FUSED", "1")
+    enc_chunked = CameraPoseEncoder(dataclasses.replace(cfg, ff_chunk_tokens=64))
+    with pltpu.force_tpu_interpret_mode():
+        fused = enc.apply(params, plucker, frames)
+        fused_chunked = enc_chunked.apply(params, plucker, frames)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(fused_chunked), np.asarray(ref), atol=3e-5)

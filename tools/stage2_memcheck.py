@@ -43,8 +43,14 @@ def main():
     import dataclasses
 
     cfg = CamAnimateConfig()
-    cfg = dataclasses.replace(cfg, denoising_unet=dataclasses.replace(
-        cfg.denoising_unet, gradient_checkpointing=True))
+    cfg = dataclasses.replace(
+        cfg,
+        denoising_unet=dataclasses.replace(
+            cfg.denoising_unet, gradient_checkpointing=True,
+            ff_chunk_tokens=1024),
+        camera_encoder=dataclasses.replace(
+            cfg.camera_encoder, ff_chunk_tokens=1024),
+    )
     system = CamAnimate(cfg, dtype=jnp.bfloat16)
     all_params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
                                     abstract=True)
