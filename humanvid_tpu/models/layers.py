@@ -224,6 +224,10 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     context_dim: int = 768
     norm_eps: float = 1e-6
+    # the reference's Transformer2D/3D GroupNorm uses the UNet's
+    # norm_num_groups (transformer_2d.py:143, transformer_3d.py:58-59 pass
+    # resnet_groups), unlike the motion modules whose GN is always 32
+    groups: int = 32
     ff_chunk_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -240,7 +244,7 @@ class SpatialTransformer(nn.Module):
         bf, h, w, c = x.shape
         residual = x
         x = nn.GroupNorm(
-            num_groups=32, epsilon=self.norm_eps, dtype=self.dtype,
+            num_groups=self.groups, epsilon=self.norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="norm",
         )(x)
         x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)

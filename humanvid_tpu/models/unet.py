@@ -77,6 +77,7 @@ class UNetConditionModel(nn.Module):
             heads=cfg.attention_heads,
             depth=cfg.transformer_layers,
             context_dim=cfg.cross_attention_dim,
+            groups=cfg.norm_num_groups,
             ff_chunk_tokens=cfg.ff_chunk_tokens,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
