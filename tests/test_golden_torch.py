@@ -17,6 +17,7 @@ same inputs, compare activations in fp32.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -299,3 +300,84 @@ def test_golden_video_unet_eps(cfg_mode):
         ref_disable=ref_disable, frames=frames)
 
     np.testing.assert_allclose(np.asarray(got), theirs, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(not os.environ.get("HVT_FULL_GOLDEN"),
+                    reason="full-SD1.5-scale golden run (slow; ~10 min on one "
+                           "CPU core) — set HVT_FULL_GOLDEN=1")
+def test_golden_video_unet_eps_full_scale():
+    """Same eps comparison at the FULL SD1.5 operating point: all 16 reference
+    banks (tie-heavy width ordering in the reference's sorted pairing), the
+    attention_head_dim=8-is-head-count quirk at real widths, AnimateDiff
+    motion modules at 8 heads / max_len 32 / mid block, CFG uc_mask.
+
+    The result is recorded in PARITY.md; gated out of routine CI by runtime,
+    not by flakiness.
+    """
+    from src.models.mutual_self_attention import ReferenceAttentionControl
+    from src.models.unet_2d_condition import UNet2DConditionModel
+    from src.models.unet_3d import UNet3DConditionModel
+
+    full_3d_kw = dict(_TORCH_3D_KW)
+    full_3d_kw.update(
+        block_out_channels=(320, 640, 1280, 1280), layers_per_block=2,
+        down_block_types=("CrossAttnDownBlock3D",) * 3 + ("DownBlock3D",),
+        up_block_types=("UpBlock3D",) + ("CrossAttnUpBlock3D",) * 3,
+        cross_attention_dim=768, attention_head_dim=8, norm_num_groups=32)
+    full_3d_kw["motion_module_kwargs"] = dict(
+        full_3d_kw["motion_module_kwargs"], num_attention_heads=8,
+        temporal_position_encoding_max_len=32)
+
+    ref2d = _randomize(UNet2DConditionModel(
+        cross_attention_dim=768, attention_head_dim=8), 7, scale=0.02)
+    den3d = _randomize(UNet3DConditionModel(**full_3d_kw), 8, scale=0.02)
+    writer = ReferenceAttentionControl(
+        ref2d, do_classifier_free_guidance=True, mode="write",
+        fusion_blocks="full", batch_size=1)
+    reader = ReferenceAttentionControl(
+        den3d, do_classifier_free_guidance=True, mode="read",
+        fusion_blocks="full", batch_size=1)
+
+    b, frames, hh, ww = 2, 2, 24, 16
+    rng = np.random.default_rng(9)
+    ref_lat = rng.normal(size=(b, hh, ww, 4)).astype(np.float32)
+    lat = rng.normal(size=(b * frames, hh, ww, 4)).astype(np.float32)
+    ctx = rng.normal(size=(b, 1, 768)).astype(np.float32)
+    pose = rng.normal(size=(b * frames, hh, ww, 320)).astype(np.float32)
+    t = np.full((b,), 500.0, np.float32)
+
+    with torch.no_grad():
+        ref2d(_nchw(ref_lat), torch.zeros(b),
+              encoder_hidden_states=torch.from_numpy(ctx))
+        reader.update(writer)
+        theirs = den3d(
+            _to_bcfhw(lat, frames), torch.from_numpy(t),
+            encoder_hidden_states=torch.from_numpy(ctx),
+            pose_cond_fea=_to_bcfhw(pose, frames)).sample
+    theirs = _from_bcfhw(theirs)
+
+    sd15 = UNetConfig(cross_attention_dim=768)
+    sd15_video = dataclasses.replace(sd15, use_motion_module=True)
+    ours_ref = UNetConditionModel(config=sd15)
+    ours_den = UNetConditionModel(config=sd15_video)
+
+    rparams = ours_ref.init(jax.random.PRNGKey(0), jnp.asarray(ref_lat),
+                            jnp.zeros((b,)), jnp.asarray(ctx),
+                            collect_ref_features=True)
+    rparams = _convert(rparams, ref2d, "unet",
+                       allow_missing=("conv_norm_out.", "conv_out."))
+    _, feats = ours_ref.apply(rparams, jnp.asarray(ref_lat), jnp.zeros((b,)),
+                              jnp.asarray(ctx), collect_ref_features=True)
+    assert len(feats) == 16
+
+    dparams = ours_den.init(jax.random.PRNGKey(1), jnp.asarray(lat),
+                            jnp.asarray(t), jnp.asarray(ctx),
+                            cond_fea=jnp.asarray(pose), ref_features=feats,
+                            frames=frames)
+    dparams = _convert(dparams, den3d, "unet", allow_unused=(".pe",))
+    got, _ = ours_den.apply(
+        dparams, jnp.asarray(lat), jnp.asarray(t), jnp.asarray(ctx),
+        cond_fea=jnp.asarray(pose), ref_features=feats,
+        ref_disable=jnp.array([True, False]), frames=frames)
+
+    np.testing.assert_allclose(np.asarray(got), theirs, rtol=2e-3, atol=2e-3)
