@@ -13,6 +13,7 @@ publishes no numbers — BASELINE.md documents the measurement protocol).
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -107,7 +108,7 @@ def main():
         t0 = time.time()
         out = run()
         dts.append(time.time() - t0)
-    dt = sorted(dts)[len(dts) // 2]
+    dt = statistics.median(dts)
     print(f"# timed runs: {['%.1f' % d for d in dts]}s "
           f"(median {dt:.1f}, spread {min(dts):.1f}-{max(dts):.1f})",
           file=sys.stderr, flush=True)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-NEG_INF = -1e9  # large-but-finite; avoids NaNs if a row were fully masked
+from .common import NEG_INF  # noqa: F401
 
 # Module-level switch: "xla" | "flash" | "auto". Tests pin "xla"; TPU entry
 # points use "auto": the Pallas flash kernel for long spatial sequences (where

@@ -65,14 +65,9 @@ _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "2048"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
 _VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(96 * 1024 * 1024)))
 
-NEG_INF = -1e9
 # Softmax runs in the log2 domain; the saved log-sum-exp is in LOG2 units and
 # the backward kernels exp2 with it symmetrically.
-LOG2E = 1.4426950408889634
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .common import LOG2E, NEG_INF, ceil_to as _ceil_to  # noqa: E402,F401
 
 
 def _compiler_params():

@@ -49,8 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LOG2E = 1.4426950408889634
-NEG_INF = -1e9
+from .common import LOG2E, NEG_INF, ceil_to as _ceil_to  # noqa: F401
 
 # Spatial-tile width. f*BL is the dense matmul M/N dim; BL also multiplies
 # the wasted (cross-position) flops, so moderate tiles win: BL=16 -> M=384
@@ -60,10 +59,6 @@ _DEFAULT_BLOCK_L = int(os.environ.get("HVT_TEMPORAL_BL", "16"))
 # Scoped-VMEM budget for the kernel (the default 16 MB scope is tight for
 # the backward's per-head fp32 (f*BL, f*BL) intermediates at larger BL).
 _VMEM_LIMIT = int(os.environ.get("HVT_TEMPORAL_VMEM", str(64 * 1024 * 1024)))
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _block_mask(n: int, bl: int) -> jnp.ndarray:
@@ -155,7 +150,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).reshape(f, bl, c)
 
 
-def _block_l(f: int, l: int, c: int, itemsize: int) -> int:
+def _block_l(l: int) -> int:
     """Spatial-tile width: the configured default, shrunk to cover small l
     without excess padding (l is padded up to a multiple of the tile)."""
     bl = _DEFAULT_BLOCK_L
@@ -208,7 +203,7 @@ def _call_bwd(q, k, v, g, heads, bl):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _temporal(q, k, v, heads):
-    bl = _block_l(q.shape[1], q.shape[2], q.shape[3], q.dtype.itemsize)
+    bl = _block_l(q.shape[2])
     l = q.shape[2]
     out = _call_fwd(_pad_l(q, bl), _pad_l(k, bl), _pad_l(v, bl), heads, bl)
     return out[:, :, :l]
@@ -220,7 +215,7 @@ def _temporal_fwd(q, k, v, heads):
 
 def _temporal_bwd(heads, res, g):
     q, k, v = res
-    bl = _block_l(q.shape[1], q.shape[2], q.shape[3], q.dtype.itemsize)
+    bl = _block_l(q.shape[2])
     l = q.shape[2]
     dq, dk, dv = _call_bwd(
         _pad_l(q, bl), _pad_l(k, bl), _pad_l(v, bl), _pad_l(g, bl), heads, bl)

@@ -131,8 +131,10 @@ def log_validation_video(pipe, params, batch, out_dir: str, step: int) -> None:
         np.asarray(batch["clip"][0], np.float32) * CLIP_STD + CLIP_MEAN, 0, 1)
 
     f = pose.shape[0]
+    # sequential CFG: the batched 2xF-row UNet pass exceeds single-chip HBM
+    # at the full stage-2 op-point while training state is also resident
     out = pipe(ref, pose, plucker, clip_raw, num_inference_steps=8,
-               guidance_scale=3.5, context_frames=f,
+               guidance_scale=3.5, context_frames=f, cfg_mode="sequential",
                rng=jax.random.PRNGKey(step))
     gen = out.videos[0]  # (f, H, W, 3)
     panels = np.concatenate(

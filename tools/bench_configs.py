@@ -18,6 +18,7 @@ warmup, then median of HVT_BENCH_RUNS (default 3) fetch-forced timed runs.
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,7 +46,7 @@ def _median_time(run):
         t0 = time.time()
         run()
         dts.append(time.time() - t0)
-    dt = sorted(dts)[len(dts) // 2]
+    dt = statistics.median(dts)
     return dt, dts
 
 

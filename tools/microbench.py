@@ -22,6 +22,7 @@ fetch shows up once per N kernel invocations.
 import functools
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,7 +50,7 @@ def _time(fn, *args):
         leaf = jax.tree.leaves(out)[0]
         float(jnp.sum(leaf[..., :1].astype(jnp.float32)))
         dts.append(time.time() - t0)
-    return sorted(dts)[len(dts) // 2], dts
+    return statistics.median(dts), dts
 
 
 def _chain(op, n=20):
