@@ -1,0 +1,69 @@
+"""Golden parity for frame metrics vs the reference's own torch code.
+
+The reference's SSIM/PSNR (``metrics/utils/loss_utils.py``,
+``metrics/utils/image_utils.py``) are pure torch and import cleanly; the eval
+protocol (``scripts/eval_pose2img.py:267-272``) is only comparable if our
+metric math matches theirs exactly, so this is exec-the-reference golden
+coverage like the camera/context/snr tests.
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from humanvid_tpu.metrics.frame import l1, psnr, ssim  # noqa: E402
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    loss_utils = _load("ref_loss_utils",
+                       "/root/reference/metrics/utils/loss_utils.py")
+    image_utils = _load("ref_image_utils",
+                        "/root/reference/metrics/utils/image_utils.py")
+    return loss_utils, image_utils
+
+
+def _pair(seed, h=37, w=29):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 1, size=(2, 3, h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, size=a.shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_golden_ssim(ref_mods):
+    loss_utils, _ = ref_mods
+    a, b = _pair(0)
+    theirs = float(loss_utils.ssim(torch.from_numpy(a), torch.from_numpy(b)))
+    # ours takes NHWC
+    ours = float(ssim(jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+                      jnp.asarray(np.transpose(b, (0, 2, 3, 1)))).mean())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_golden_psnr_l1(ref_mods):
+    _, image_utils = ref_mods
+    a, b = _pair(1)
+    theirs = image_utils.psnr(
+        torch.from_numpy(a), torch.from_numpy(b)).numpy().ravel()
+    ours = np.asarray(psnr(jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+                           jnp.asarray(np.transpose(b, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+    # L1 protocol: plain mean absolute error (eval_pose2img.py:270)
+    ours_l1 = np.asarray(l1(jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+                            jnp.asarray(np.transpose(b, (0, 2, 3, 1))))).mean()
+    np.testing.assert_allclose(ours_l1, np.abs(a - b).mean(), rtol=1e-6)
