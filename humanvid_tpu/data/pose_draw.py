@@ -50,13 +50,21 @@ FOOT_EDGES = [[0, 2], [0, 3], [0, 4], [1, 5], [1, 6], [1, 7]]
 
 
 def _hsv_rgb(h: float) -> tuple:
+    # float components, NOT truncated to int: the reference passes
+    # matplotlib.colors.hsv_to_rgb(...)*255 floats straight to cv2
+    # (DWPose/dwpose_utils/util.py:131,173) and cv2's own rounding differs
+    # from int() truncation by one count on half-values
     r, g, b = colorsys.hsv_to_rgb(h, 1.0, 1.0)
-    return (int(r * 255), int(g * 255), int(b * 255))
+    return (r * 255.0, g * 255.0, b * 255.0)
 
 
 def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray) -> np.ndarray:
     H, W, _ = canvas.shape
-    stickwidth = 4
+    # the DATA-PREP rasterizer the PoseGuider was trained on uses width 5
+    # (DWPose/dwpose_utils/util.py:73); the reference's second, inference-era
+    # copy (src/dwpose/util.py:84) says 4 but is only used by the bit-rotted
+    # train-time validation path
+    stickwidth = 5
     candidate = np.asarray(candidate)
     subset = np.asarray(subset)
 
@@ -132,7 +140,7 @@ def draw_footpose(canvas: np.ndarray, all_foot_peaks: Sequence[np.ndarray]) -> n
         for px, py in peaks[2:]:
             x, y = int(px * W), int(py * H)
             if x > EPS and y > EPS:
-                cv2.circle(canvas, (x, y), 4, (0, 0, 255), thickness=-1)
+                cv2.circle(canvas, (x, y), 4, (0, 255, 0), thickness=-1)
     return canvas
 
 

@@ -95,11 +95,20 @@ class DWposeDetector:
         self._det_fn = jax.jit(partial(self.det_model.apply, det_variables))
         self._pose_fn = jax.jit(partial(self.pose_model.apply, pose_variables))
 
-    def detect_boxes(self, frame_rgb: np.ndarray, score_thr: float = 0.3) -> np.ndarray:
+    def detect_boxes(self, frame_rgb: np.ndarray, score_thr: float = 0.5) -> np.ndarray:
+        """Person boxes, largest first.
+
+        Reference semantics (DWPose/dwpose_utils/onnxdet.py:103-144): NMS,
+        keep person boxes with score > 0.5, sort by box area descending,
+        truncate to num_people.
+        """
         bgr = frame_rgb[..., ::-1]
         inp, ratio = yolox.letterbox(bgr)
         pred = np.asarray(self._det_fn(inp[None]))[0]
         boxes = yolox.postprocess_person(pred, ratio, score_thr)
+        if len(boxes):
+            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            boxes = boxes[np.argsort(areas)[::-1]]
         if self.num_people > 0:
             boxes = boxes[:self.num_people]
         return boxes

@@ -215,7 +215,14 @@ def letterbox(img: np.ndarray, size: int = INPUT_SIZE) -> Tuple[np.ndarray, floa
 
 
 def nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float = 0.45) -> List[int]:
-    """Greedy IoU NMS over xyxy boxes (host)."""
+    """Greedy IoU NMS over xyxy boxes (host).
+
+    Uses the legacy "+1" pixel-area convention of the reference's detector
+    (DWPose/dwpose_utils/onnxdet.py:6-31) so borderline suppressions — and
+    therefore which person's pose gets rasterized — match exactly.
+    """
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
     order = scores.argsort()[::-1]
     keep = []
     while order.size:
@@ -223,15 +230,12 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float = 0.45) -> List[in
         keep.append(int(i))
         if order.size == 1:
             break
-        xx1 = np.maximum(boxes[i, 0], boxes[order[1:], 0])
-        yy1 = np.maximum(boxes[i, 1], boxes[order[1:], 1])
-        xx2 = np.minimum(boxes[i, 2], boxes[order[1:], 2])
-        yy2 = np.minimum(boxes[i, 3], boxes[order[1:], 3])
-        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
-        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-        area_o = (boxes[order[1:], 2] - boxes[order[1:], 0]) * \
-                 (boxes[order[1:], 3] - boxes[order[1:], 1])
-        iou = inter / np.maximum(area_i + area_o - inter, 1e-9)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(0.0, xx2 - xx1 + 1) * np.maximum(0.0, yy2 - yy1 + 1)
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
         order = order[1:][iou <= iou_thr]
     return keep
 

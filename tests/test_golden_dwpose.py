@@ -1,0 +1,170 @@
+"""Golden parity for the DWPose pipeline vs the reference's own numpy/cv2 code.
+
+The reference's detector/pose postprocessing (grid decode, NMS chain,
+top-down affine crop, SimCC decode, crop→image mapping) and the skeleton
+rasterizer are pure numpy/cv2 (`/root/reference/DWPose/dwpose_utils/
+{onnxdet,onnxpose,util}.py`) — only the module-level ``import onnxruntime``
+stands between them and direct execution, so a one-line stub lets every
+decode step run verbatim and be compared against ours. This closes the
+"decode parity unproven" gap for the DWPose port as far as is possible
+without the real ONNX weights (the nets themselves are covered by
+architecture/microshape tests + the ONNX reader's real-torch-export test).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from humanvid_tpu.pose import rtmpose, yolox
+
+_ort = types.ModuleType("onnxruntime")
+_ort.InferenceSession = object  # annotation-only use in the imported modules
+sys.modules.setdefault("onnxruntime", _ort)
+sys.path.insert(0, "/root/reference/DWPose")
+
+from dwpose_utils import onnxdet, onnxpose  # noqa: E402
+from dwpose_utils import util as ref_util  # noqa: E402
+
+from humanvid_tpu.data import pose_draw  # noqa: E402
+
+
+def test_golden_yolox_grid_decode():
+    """Our in-model grid decode vs the reference's demo_postprocess
+    (onnxdet.py:61-82) on identical head outputs."""
+    model = yolox.YOLOX(dep=1, wid=16)  # decode math is width-independent
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 160, 160, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    decoded, inter = model.apply(
+        x=x, variables=variables, mutable=["intermediates"],
+        capture_intermediates=lambda m, _: m.name == "head")
+    decoded = np.asarray(decoded)[0]
+    levels = inter["intermediates"]["head"]["__call__"][0]
+
+    # assemble the raw flat output the ONNX graph would emit: boxes raw,
+    # obj/cls already sigmoided
+    flats = []
+    for lvl in levels:
+        n, h, w, c = lvl.shape
+        flat = np.asarray(lvl).reshape(n, h * w, c)
+        flats.append(np.concatenate(
+            [flat[..., :4], 1 / (1 + np.exp(-flat[..., 4:]))], axis=-1))
+    raw = np.concatenate(flats, axis=1)
+
+    theirs = onnxdet.demo_postprocess(raw.copy(), (160, 160))
+    np.testing.assert_allclose(decoded, np.asarray(theirs)[0] if np.asarray(theirs).ndim == 3 else theirs,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_golden_detector_postprocess_chain():
+    """postprocess_person + area sort vs the reference's full chain:
+    cxcywh→xyxy, /ratio, multiclass_nms(0.45, 0.1), score>0.5 & person,
+    area-descending sort (onnxdet.py:103-144)."""
+    rng = np.random.default_rng(1)
+    A = 300
+    pred = np.zeros((A, 85), np.float32)
+    pred[:, :2] = rng.uniform(40, 600, size=(A, 2))          # centers
+    pred[:, 2:4] = rng.uniform(20, 200, size=(A, 2))         # w, h
+    pred[:, 4] = rng.uniform(0, 1, size=A)                   # obj
+    pred[:, 5:] = rng.uniform(0, 1, size=(A, 80)) * 0.3
+    pred[:, 5] = rng.uniform(0, 1, size=A)                   # person cls
+    ratio = 0.62
+
+    boxes = pred[:, :4]
+    scores = pred[:, 4:5] * pred[:, 5:]
+    boxes_xyxy = np.ones_like(boxes)
+    boxes_xyxy[:, 0] = boxes[:, 0] - boxes[:, 2] / 2.0
+    boxes_xyxy[:, 1] = boxes[:, 1] - boxes[:, 3] / 2.0
+    boxes_xyxy[:, 2] = boxes[:, 0] + boxes[:, 2] / 2.0
+    boxes_xyxy[:, 3] = boxes[:, 1] + boxes[:, 3] / 2.0
+    boxes_xyxy /= ratio
+    dets = onnxdet.multiclass_nms(boxes_xyxy, scores, nms_thr=0.45, score_thr=0.1)
+    assert dets is not None
+    keep = (dets[:, 4] > 0.5) & (dets[:, 5] == 0)
+    theirs = dets[keep, :4]
+    areas = (theirs[:, 2] - theirs[:, 0]) * (theirs[:, 3] - theirs[:, 1])
+    theirs = theirs[np.argsort(areas)[::-1]]
+
+    ours = yolox.postprocess_person(pred, ratio, score_thr=0.5)
+    areas = (ours[:, 2] - ours[:, 0]) * (ours[:, 3] - ours[:, 1])
+    ours = ours[np.argsort(areas)[::-1]]
+
+    assert len(ours) == len(theirs) > 0
+    np.testing.assert_allclose(ours[:, :4], theirs, rtol=1e-5, atol=1e-4)
+
+
+def test_golden_pose_crop_affine():
+    """bbox_to_center_scale + crop_affine vs the reference's preprocess
+    (bbox_xyxy2cs padding 1.25 + _fix_aspect_ratio + get_warp_matrix,
+    onnxpose.py:7-50,115-286)."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
+    bbox = np.array([100.0, 80.0, 320.0, 460.0], np.float32)
+
+    # the reference warps whatever colorspace it is given and normalizes
+    # without a channel flip; our pipeline warps BGR and normalize_crop flips
+    # to RGB — so feed the reference RGB and ours its BGR view
+    resized, center_t, scale_t = onnxpose.preprocess(img, bbox[None], (288, 384))
+
+    center_o, scale_o = rtmpose.bbox_to_center_scale(bbox)
+    crop, _ = rtmpose.crop_affine(img[..., ::-1], center_o, scale_o)
+    ours_norm = rtmpose.normalize_crop(crop)
+
+    np.testing.assert_allclose(center_o, np.asarray(center_t)[0], atol=1e-3)
+    np.testing.assert_allclose(scale_o, np.asarray(scale_t)[0], rtol=1e-5)
+    theirs_norm = np.asarray(resized[0], np.float32)
+    # same cv2 warp up to the 3-point-affine vs get_warp_matrix formulation
+    close = np.abs(ours_norm - theirs_norm) <= 0.05
+    assert close.mean() > 0.995, f"crop mismatch: {1 - close.mean():.4f}"
+
+
+def test_golden_simcc_decode_and_mapping():
+    """simcc_decode + crop_to_image vs reference decode + postprocess
+    rescale (onnxpose.py:80-112,288-350)."""
+    rng = np.random.default_rng(3)
+    K = 133
+    simcc_x = rng.normal(size=(1, K, int(288 * 2))).astype(np.float32)
+    simcc_y = rng.normal(size=(1, K, int(384 * 2))).astype(np.float32)
+    center = np.array([211.0, 270.0], np.float32)
+    scale = np.array([300.0, 400.0], np.float32)
+
+    theirs_k, theirs_s = onnxpose.postprocess(
+        [(simcc_x, simcc_y)], (288, 384), center[None], scale[None])
+
+    kpts, scores = rtmpose.simcc_decode(simcc_x, simcc_y)
+    ours = rtmpose.crop_to_image(kpts[0], center, scale)
+
+    np.testing.assert_allclose(scores[0], theirs_s[0], rtol=1e-6)
+    np.testing.assert_allclose(ours, theirs_k[0], rtol=1e-5, atol=1e-4)
+
+
+def test_golden_skeleton_rasterizer():
+    """draw_pose pixel parity vs the reference rasterizer
+    (DWPose/dwpose_utils/util.py:68-166 — body, hands, face, feet; both
+    sides draw with the same cv2)."""
+    rng = np.random.default_rng(4)
+    H, W = 192, 128
+    candidate = rng.uniform(0.1, 0.9, size=(18, 2)).astype(np.float64)
+    subset = np.arange(18, dtype=np.float64)[None]
+    subset[0, 9] = -1  # one missing joint
+    hands = rng.uniform(0.1, 0.9, size=(2, 21, 2)).astype(np.float64)
+    faces = rng.uniform(0.1, 0.9, size=(1, 68, 2)).astype(np.float64)
+    feet = rng.uniform(0.1, 0.9, size=(1, 8, 2)).astype(np.float64)
+
+    theirs = np.zeros((H, W, 3), np.uint8)
+    theirs = ref_util.draw_bodypose(theirs, candidate.copy(), subset.copy())
+    theirs = ref_util.draw_handpose(theirs, hands.copy())
+    theirs = ref_util.draw_facepose(theirs, faces.copy())
+    theirs = ref_util.draw_footpose(theirs, feet.copy())
+
+    ours = pose_draw.draw_pose(
+        {"bodies": {"candidate": candidate, "subset": subset},
+         "hands": hands, "faces": faces, "feet": feet}, H, W)
+
+    mismatch = (ours != theirs).mean()
+    assert mismatch == 0.0, f"rasterizer pixel mismatch fraction {mismatch}"
