@@ -168,3 +168,20 @@ def test_golden_skeleton_rasterizer():
 
     mismatch = (ours != theirs).mean()
     assert mismatch == 0.0, f"rasterizer pixel mismatch fraction {mismatch}"
+
+
+def test_golden_smplx_to_coco_wholebody():
+    """Our precomputed SMPLX→COCO-wholebody index table vs the reference's
+    by-name mapping (DWPose/dwpose_utils/smplx2openpose.py:28-47)."""
+    from dwpose_utils import smplx2openpose as ref_s2o
+    from dwpose_utils.keypoints_format import SMPLX_KEYPOINTS
+
+    from humanvid_tpu.pose.smplx import smplx_to_coco_wholebody
+
+    rng = np.random.default_rng(5)
+    smplx = rng.uniform(0, 500, size=(len(SMPLX_KEYPOINTS), 3)).astype(np.float32)
+
+    theirs = ref_s2o.smplx_to_coco_wholebody(smplx)  # (133, 3)
+    ours, _ = smplx_to_coco_wholebody(smplx[None, :, :2])
+
+    np.testing.assert_allclose(ours[0], theirs[:, :2], rtol=1e-6)
