@@ -102,16 +102,24 @@ def apply_resize_crop(frames: np.ndarray, params, dst_wh: Tuple[int, int]) -> np
 
 
 def clip_preprocess_np(image: np.ndarray, size: int = 224) -> np.ndarray:
-    """uint8 (H, W, 3) -> CLIP-normalized float32 (size, size, 3)."""
-    import cv2
+    """uint8 (H, W, 3) -> CLIP-normalized float32 (size, size, 3).
+
+    Matches ``transformers.CLIPImageProcessor()`` defaults exactly (the
+    reference feeds PIL frames through it,
+    ``src/dataset/dance_image_h_v_camera.py:201,329``): shortest side to
+    ``size`` with PIL BICUBIC (antialiased — cv2.INTER_CUBIC is NOT and
+    diverges by ~0.3 in normalized units), center crop, /255, CLIP mean/std.
+    """
+    from PIL import Image
 
     h, w = image.shape[:2]
-    short = min(h, w)
-    scale = size / short
-    r = cv2.resize(image, (int(round(w * scale)), int(round(h * scale))),
-                   interpolation=cv2.INTER_CUBIC)
-    rh, rw = r.shape[:2]
-    y0, x0 = (rh - size) // 2, (rw - size) // 2
+    if h < w:
+        new_h, new_w = size, int(size * w / h)
+    else:
+        new_h, new_w = int(size * h / w), size
+    r = np.asarray(
+        Image.fromarray(image).resize((new_w, new_h), Image.BICUBIC))
+    y0, x0 = (new_h - size) // 2, (new_w - size) // 2
     r = r[y0:y0 + size, x0:x0 + size]
     return (r.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
 

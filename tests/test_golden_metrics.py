@@ -67,3 +67,23 @@ def test_golden_psnr_l1(ref_mods):
     ours_l1 = np.asarray(l1(jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
                             jnp.asarray(np.transpose(b, (0, 2, 3, 1))))).mean()
     np.testing.assert_allclose(ours_l1, np.abs(a - b).mean(), rtol=1e-6)
+
+
+def test_golden_clip_preprocess():
+    """clip_preprocess_np vs the installed transformers CLIPImageProcessor
+    (the reference's exact preprocessing path,
+    dance_image_h_v_camera.py:201,329) — bit-exact across aspect ratios."""
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    from humanvid_tpu.data.datasets import clip_preprocess_np
+
+    proc = transformers.CLIPImageProcessor()
+    for seed, shape in [(0, (300, 500, 3)), (1, (500, 300, 3)),
+                        (2, (224, 224, 3)), (3, (711, 123, 3))]:
+        img = np.random.default_rng(seed).integers(
+            0, 255, size=shape, dtype=np.uint8)
+        theirs = proc(images=Image.fromarray(img),
+                      return_tensors="np").pixel_values[0]
+        ours = np.transpose(clip_preprocess_np(img), (2, 0, 1))
+        np.testing.assert_array_equal(ours, theirs)
