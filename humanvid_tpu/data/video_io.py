@@ -152,7 +152,13 @@ def save_videos_grid(
 
 
 def resize_frames(frames: np.ndarray, width: int, height: int) -> np.ndarray:
-    _require_cv2()
+    """PIL BILINEAR (antialiased) resize, matching the reference drivers'
+    ``torchvision.transforms.Resize`` on PIL frames (scripts/pose2vid.py:246,
+    eval_pose2vid.py:253, eval_pose2img.py:222) — cv2 interpolations are not
+    antialiased and diverge visibly on downscale."""
+    from PIL import Image
+
     return np.stack([
-        cv2.resize(f, (width, height), interpolation=cv2.INTER_AREA) for f in frames
+        np.asarray(Image.fromarray(f).resize((width, height), Image.BILINEAR))
+        for f in frames
     ])

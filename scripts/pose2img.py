@@ -26,6 +26,7 @@ import numpy as np
 
 from humanvid_tpu.data.datasets import clip_crop_raw
 from humanvid_tpu.data.camera import camera_file_to_plucker
+from humanvid_tpu.data.video_io import resize_frames
 from humanvid_tpu.pipelines import CamAnimate, CamAnimateConfig, Pose2ImagePipeline
 from humanvid_tpu.utils.config import load_config
 from humanvid_tpu.utils.weights import load_pretrained_params
@@ -73,8 +74,8 @@ def main():
             else:
                 W, H = min(args.W, args.H), max(args.W, args.H)
 
-            ref = cv2.resize(ref_raw, (W, H)).astype(np.float32) / 255.0
-            pose = cv2.resize(pose_raw, (W, H)).astype(np.float32) / 255.0
+            ref = resize_frames(ref_raw[None], W, H)[0].astype(np.float32) / 255.0
+            pose = resize_frames(pose_raw[None], W, H)[0].astype(np.float32) / 255.0
             clip_raw = clip_crop_raw(ref_raw, clip_sz)
             plucker = camera_file_to_plucker(
                 pose_path, 1, 0, [0], (W, H), is_same_video=False

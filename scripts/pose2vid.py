@@ -89,7 +89,7 @@ def main():
 
             import cv2
             ref_img_raw = cv2.cvtColor(cv2.imread(ref_path), cv2.COLOR_BGR2RGB)
-            ref = cv2.resize(ref_img_raw, (W, H)).astype(np.float32) / 255.0
+            ref = resize_frames(ref_img_raw[None], W, H)[0].astype(np.float32) / 255.0
             # pipeline CLIP input is raw [0,1] at 224 (it normalizes internally)
             clip_raw = clip_crop_raw(ref_img_raw, clip_sz)
 
