@@ -89,14 +89,19 @@ def random_resize_crop_params(
 
 
 def apply_resize_crop(frames: np.ndarray, params, dst_wh: Tuple[int, int]) -> np.ndarray:
-    """(f, H, W, 3) uint8 -> (f, dst_h, dst_w, 3) uint8 via shared resize+crop."""
-    import cv2
+    """(f, H, W, 3) uint8 -> (f, dst_h, dst_w, 3) uint8 via shared resize+crop.
+
+    PIL BILINEAR (antialiased), matching the reference's ``TF.resize`` on PIL
+    frames (dance_image_h_v_camera.py:157) — see resize_frames for why cv2
+    interpolation is not equivalent.
+    """
+    from PIL import Image
 
     rw, rh, x0, y0 = params
     dst_w, dst_h = dst_wh
     out = np.empty((frames.shape[0], dst_h, dst_w, frames.shape[-1]), frames.dtype)
     for i, f in enumerate(frames):
-        r = cv2.resize(f, (rw, rh), interpolation=cv2.INTER_LINEAR)
+        r = np.asarray(Image.fromarray(f).resize((rw, rh), Image.BILINEAR))
         out[i] = r[y0:y0 + dst_h, x0:x0 + dst_w]
     return out
 
@@ -303,12 +308,15 @@ def clip_crop_raw(image: np.ndarray, size: int = 224) -> np.ndarray:
     normalize internally). The inference CLIs use this so conditioning
     matches training/`clip_preprocess_np` instead of an aspect-distorting
     direct resize."""
-    import cv2
+    from PIL import Image
 
     h, w = image.shape[:2]
-    scale = size / min(h, w)
-    r = cv2.resize(image, (int(round(w * scale)), int(round(h * scale))),
-                   interpolation=cv2.INTER_CUBIC)
+    if h < w:
+        new_h, new_w = size, int(size * w / h)
+    else:
+        new_h, new_w = int(size * h / w), size
+    r = np.asarray(
+        Image.fromarray(image).resize((new_w, new_h), Image.BICUBIC))
     rh, rw = r.shape[:2]
     y0, x0 = (rh - size) // 2, (rw - size) // 2
     return r[y0:y0 + size, x0:x0 + size].astype(np.float32) / 255.0

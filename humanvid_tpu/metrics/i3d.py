@@ -98,11 +98,23 @@ class I3D(nn.Module):
 
 def preprocess_video(video: np.ndarray, size: int = 224) -> np.ndarray:
     """(f, H, W, 3) [0,1] -> (f, 224, 224, 3) [-1,1]: resize-short-side +
-    center crop (fvd.py:42-79)."""
+    center crop (fvd.py:42-79).
+
+    The reference resizes with ``F.interpolate(mode='bilinear',
+    align_corners=False)`` — half-pixel bilinear with NO antialiasing — and
+    ceil-rounds the long side; ``jax.image.resize`` defaults to antialias,
+    so both must be pinned for FVD parity.
+    """
+    import math
+
     f, h, w, _ = video.shape
     scale = size / min(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
-    v = jax.image.resize(jnp.asarray(video), (f, nh, nw, 3), "bilinear")
+    if h < w:
+        nh, nw = size, math.ceil(w * scale)
+    else:
+        nh, nw = math.ceil(h * scale), size
+    v = jax.image.resize(jnp.asarray(video), (f, nh, nw, 3), "bilinear",
+                         antialias=False)
     top, left = (nh - size) // 2, (nw - size) // 2
     v = v[:, top:top + size, left:left + size, :]
     return np.asarray(v) * 2.0 - 1.0

@@ -69,6 +69,24 @@ def test_golden_psnr_l1(ref_mods):
     np.testing.assert_allclose(ours_l1, np.abs(a - b).mean(), rtol=1e-6)
 
 
+def test_golden_fvd_preprocess():
+    """metrics.i3d preprocessing vs the reference's preprocess_single
+    (metrics/utils/fvd.py:42-69): non-antialiased half-pixel bilinear to
+    short-side 224 with ceil-rounded long side, center crop, [-1,1]."""
+    fvd = _load("ref_fvd", "/root/reference/metrics/utils/fvd.py")
+
+    from humanvid_tpu.metrics.i3d import preprocess_video
+
+    rng = np.random.default_rng(7)
+    for h, w in [(240, 426), (426, 240), (224, 224)]:
+        vid = rng.uniform(0, 1, size=(4, h, w, 3)).astype(np.float32)
+        theirs = fvd.preprocess_single(
+            torch.from_numpy(np.transpose(vid, (3, 0, 1, 2)).copy()))
+        theirs = np.transpose(theirs.numpy(), (1, 2, 3, 0))
+        ours = preprocess_video(vid)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_golden_clip_preprocess():
     """clip_preprocess_np vs the installed transformers CLIPImageProcessor
     (the reference's exact preprocessing path,
