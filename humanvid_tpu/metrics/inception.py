@@ -152,7 +152,8 @@ class InceptionV3Features(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.resize_input and x.shape[1:3] != (299, 299):
-            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear",
+                                 antialias=False)  # F.interpolate parity (fid_inception.py:148)
         x = x * 2.0 - 1.0
 
         x = BasicConv2d(32, (3, 3), (2, 2), name="Conv2d_1a_3x3")(x)

@@ -58,8 +58,9 @@ def _align(a: np.ndarray, b: np.ndarray) -> tuple:
     n = min(a.shape[0], b.shape[0])
     a, b = a[:n], b[:n]
     if a.shape[1:3] != b.shape[1:3]:
-        import cv2
-        b = np.stack([cv2.resize(f, (a.shape[2], a.shape[1])) for f in b])
+        from PIL import Image
+        b = np.stack([np.asarray(Image.fromarray(f).resize(
+            (a.shape[2], a.shape[1]), Image.BILINEAR)) for f in b])
     return a, b
 
 

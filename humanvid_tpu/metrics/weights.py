@@ -65,8 +65,13 @@ def _make_clip_apply(sd: Dict[str, Any], clip_batch: int = 8):
     run = jax.jit(lambda x: model.apply(params, clip_preprocess(x)))
 
     def clip_apply(frames: np.ndarray) -> np.ndarray:
+        # reference sim.py:43 feeds frames through CLIPProcessor: short-side
+        # 224 PIL-BICUBIC + center crop (NOT an aspect-distorting resize)
+        from ..data.datasets import clip_crop_raw
+
         f = frames.shape[0]
-        v = jax.image.resize(jnp.asarray(frames), (f, 224, 224, 3), "bilinear")
+        u8 = np.clip(np.asarray(frames) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        v = jnp.asarray(np.stack([clip_crop_raw(fr) for fr in u8]))
         outs = []
         for i in range(0, f, clip_batch):
             chunk = v[i:i + clip_batch]
