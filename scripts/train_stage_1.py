@@ -320,6 +320,7 @@ def run_training(stage: int, argv=None):
     val_steps = cfg.get_path("val.validation_steps", 0) or 0
     val_pipe = None
     profiling = False
+    prev_aux = None  # delayed-fetch loss pipeline (see the step loop)
     # Exact-resume data order: the sampler's shuffle is a pure function of
     # (seed, epoch) and every epoch yields len(sampler) batches, so the
     # epoch/offset at interruption is derivable from step0 alone — fast-forward
@@ -349,16 +350,22 @@ def run_training(stage: int, argv=None):
                 profiling = True
             with timers.segment("step"):
                 state, aux = train_step(state, batch, rng)
-                loss = float(aux["loss"])  # blocks: device step completes here
+                # one-step-delayed fetch: read step N-1's loss while step N
+                # runs on device — the ~35 ms scalar-fetch RPC of this
+                # backend (PERF.md) overlaps compute instead of serializing
+                # every step; the fetch still backpressures dispatch to at
+                # most one step ahead
+                loss = float(prev_aux["loss"]) if prev_aux is not None else float("nan")
             if profiling and global_step - step0 >= 12:
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("device trace written to %s", args.profile_dir)
             global_step += 1
             timers.step(global_step, loss=loss)
-            if global_step % 20 == 0:
-                tracker.log(global_step, loss=loss,
-                            grad_norm=float(aux["grad_norm"]))
+            if global_step % 20 == 0 and prev_aux is not None:
+                tracker.log(global_step - 1, loss=loss,
+                            grad_norm=float(prev_aux["grad_norm"]))
+            prev_aux = aux
             if val_steps and global_step % val_steps == 0:
                 from humanvid_tpu.pipelines import (
                     Pose2ImagePipeline, Pose2VideoPipeline)
@@ -395,6 +402,9 @@ def run_training(stage: int, argv=None):
         opt_state=jax.device_get(state.opt_state),
         motion_only=(stage == 2), total_limit=None,
     )
+    if prev_aux is not None:
+        tracker.log(global_step, loss=float(prev_aux["loss"]),
+                    grad_norm=float(prev_aux["grad_norm"]))
     tracker.close()
     logger.info("training done at step %d", global_step)
 

@@ -518,7 +518,12 @@ class AttnAddedKVProcessor(_Unused):
 # ---------------------------------------------------------------------------
 
 def _module(name, **symbols):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # real ModuleSpec: torch._dynamo's trace rules call find_spec on
+    # installed module names and raise if __spec__ is None
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in symbols.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

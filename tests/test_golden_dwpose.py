@@ -24,6 +24,11 @@ from humanvid_tpu.pose import rtmpose, yolox
 
 _ort = types.ModuleType("onnxruntime")
 _ort.InferenceSession = object  # annotation-only use in the imported modules
+# a real ModuleSpec: torch._dynamo probes find_spec("onnxruntime") and raises
+# ValueError on a bare stub whose __spec__ is None
+import importlib.machinery  # noqa: E402
+
+_ort.__spec__ = importlib.machinery.ModuleSpec("onnxruntime", None)
 sys.modules.setdefault("onnxruntime", _ort)
 sys.path.insert(0, "/root/reference/DWPose")
 
