@@ -310,6 +310,28 @@ def run_training(stage: int, argv=None):
     save_dir = os.path.join(cfg.output_dir, cfg.exp_name)
     os.makedirs(save_dir, exist_ok=True)
 
+    # production checkpoint backend: async, sharding-preserving orbax writes
+    # (scales to multi-host ZeRO states) vs the default reference-compatible
+    # per-module msgpack + .pth export
+    orbax_ckpt = None
+    if cfg.solver.get("checkpoint_backend", "msgpack") == "orbax":
+        from humanvid_tpu.train.checkpoint import OrbaxCheckpointer
+        orbax_ckpt = OrbaxCheckpointer(os.path.join(save_dir, "orbax"),
+                                       keep=3 if stage == 1 else 10)
+        if cfg.get("resume_from_checkpoint"):
+            src = (OrbaxCheckpointer(
+                os.path.join(cfg.resume_from_checkpoint, "orbax"))
+                if os.path.abspath(cfg.resume_from_checkpoint)
+                != os.path.abspath(save_dir) else orbax_ckpt)
+            step0 = step0 or (src.latest_step() or 0)
+            restored = src.restore(step0, {
+                "params": state.params, "opt_state": state.opt_state,
+            })
+            state = state.replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                step=jnp.asarray(step0, jnp.int32))
+            logger.info("orbax resume from step %d", step0)
+
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     global_step = step0
     max_steps = cfg.solver.max_train_steps
@@ -385,23 +407,32 @@ def run_training(stage: int, argv=None):
                     log_validation(val_pipe, live, batch, val_dir, global_step)
                 logger.info("validation render at step %d", global_step)
             if global_step % cfg.get("checkpointing_steps", 5000) == 0:
-                save_train_checkpoint(
-                    save_dir, jax.device_get(state.params), global_step,
-                    opt_state=jax.device_get(state.opt_state),
-                    motion_only=(stage == 2),
-                    total_limit=3 if stage == 1 else 10,
-                )
+                if orbax_ckpt is not None:
+                    orbax_ckpt.save(global_step, {
+                        "params": state.params, "opt_state": state.opt_state})
+                else:
+                    save_train_checkpoint(
+                        save_dir, jax.device_get(state.params), global_step,
+                        opt_state=jax.device_get(state.opt_state),
+                        motion_only=(stage == 2),
+                        total_limit=3 if stage == 1 else 10,
+                    )
                 logger.info("checkpointed at step %d", global_step)
             if global_step >= max_steps:
                 break
             t_data = time.time()
         epoch += 1
 
-    save_train_checkpoint(
-        save_dir, jax.device_get(state.params), global_step,
-        opt_state=jax.device_get(state.opt_state),
-        motion_only=(stage == 2), total_limit=None,
-    )
+    if orbax_ckpt is not None:
+        orbax_ckpt.save(global_step, {
+            "params": state.params, "opt_state": state.opt_state})
+        orbax_ckpt.close()
+    else:
+        save_train_checkpoint(
+            save_dir, jax.device_get(state.params), global_step,
+            opt_state=jax.device_get(state.opt_state),
+            motion_only=(stage == 2), total_limit=None,
+        )
     if prev_aux is not None:
         tracker.log(global_step, loss=float(prev_aux["loss"]),
                     grad_norm=float(prev_aux["grad_norm"]))
