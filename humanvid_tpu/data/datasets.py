@@ -115,18 +115,7 @@ def clip_preprocess_np(image: np.ndarray, size: int = 224) -> np.ndarray:
     ``size`` with PIL BICUBIC (antialiased — cv2.INTER_CUBIC is NOT and
     diverges by ~0.3 in normalized units), center crop, /255, CLIP mean/std.
     """
-    from PIL import Image
-
-    h, w = image.shape[:2]
-    if h < w:
-        new_h, new_w = size, int(size * w / h)
-    else:
-        new_h, new_w = int(size * h / w), size
-    r = np.asarray(
-        Image.fromarray(image).resize((new_w, new_h), Image.BICUBIC))
-    y0, x0 = (new_h - size) // 2, (new_w - size) // 2
-    r = r[y0:y0 + size, x0:x0 + size]
-    return (r.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    return (clip_crop_raw(image, size) - CLIP_MEAN) / CLIP_STD
 
 
 @dataclasses.dataclass

@@ -58,9 +58,13 @@ def _align(a: np.ndarray, b: np.ndarray) -> tuple:
     n = min(a.shape[0], b.shape[0])
     a, b = a[:n], b[:n]
     if a.shape[1:3] != b.shape[1:3]:
+        # PIL-bilinear for reference parity; frames are float [0,1] here, so
+        # round-trip uint8 (PIL cannot resize float32 RGB)
         from PIL import Image
+        u8 = np.clip(b * 255.0 + 0.5, 0, 255).astype(np.uint8)
         b = np.stack([np.asarray(Image.fromarray(f).resize(
-            (a.shape[2], a.shape[1]), Image.BILINEAR)) for f in b])
+            (a.shape[2], a.shape[1]), Image.BILINEAR)) for f in u8])
+        b = b.astype(np.float32) / 255.0
     return a, b
 
 

@@ -327,9 +327,15 @@ def _jitted_apply(model: "YOLOX"):
 
 
 def detect_persons(variables, image_bgr: np.ndarray, model: YOLOX = None,
-                   score_thr: float = 0.3) -> np.ndarray:
-    """One image -> (k, 5) person boxes xyxy+score (original pixels)."""
+                   score_thr: float = 0.5) -> np.ndarray:
+    """One image -> (k, 5) person boxes xyxy+score, largest first (reference
+    semantics: score > 0.5 after NMS, area-descending —
+    DWPose/dwpose_utils/onnxdet.py:103-144)."""
     model = model or YOLOX()
     inp, ratio = letterbox(image_bgr)
     pred = np.asarray(_jitted_apply(model)(variables, inp[None]))[0]
-    return postprocess_person(pred, ratio, score_thr)
+    boxes = postprocess_person(pred, ratio, score_thr)
+    if len(boxes):
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        boxes = boxes[np.argsort(areas)[::-1]]
+    return boxes

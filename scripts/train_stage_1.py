@@ -188,6 +188,12 @@ def run_training(stage: int, argv=None):
             gradient_checkpointing=grad_ckpt,
             ff_chunk_tokens=ff_chunk,
         ),
+        # stage 1 trains the ReferenceNet too — same memory lever applies
+        reference_unet=_dc.replace(
+            base.reference_unet,
+            gradient_checkpointing=grad_ckpt,
+            ff_chunk_tokens=ff_chunk,
+        ),
         camera_encoder=_dc.replace(
             base.camera_encoder,
             position_encoding_max_len=(16 if stage == 1 else 24)
@@ -323,14 +329,21 @@ def run_training(stage: int, argv=None):
                 os.path.join(cfg.resume_from_checkpoint, "orbax"))
                 if os.path.abspath(cfg.resume_from_checkpoint)
                 != os.path.abspath(save_dir) else orbax_ckpt)
-            step0 = step0 or (src.latest_step() or 0)
-            restored = src.restore(step0, {
-                "params": state.params, "opt_state": state.opt_state,
-            })
-            state = state.replace(
-                params=restored["params"], opt_state=restored["opt_state"],
-                step=jnp.asarray(step0, jnp.int32))
-            logger.info("orbax resume from step %d", step0)
+            if src.latest_step() is None:
+                # e.g. migrating an msgpack-format checkpoint dir to the
+                # orbax backend: whatever the msgpack resume above loaded
+                # stands; just warn and continue
+                logger.warning("no orbax checkpoint under %s; resume used "
+                               "msgpack files only", cfg.resume_from_checkpoint)
+            else:
+                step0 = step0 or src.latest_step()
+                restored = src.restore(step0, {
+                    "params": state.params, "opt_state": state.opt_state,
+                })
+                state = state.replace(
+                    params=restored["params"], opt_state=restored["opt_state"],
+                    step=jnp.asarray(step0, jnp.int32))
+                logger.info("orbax resume from step %d", step0)
 
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     global_step = step0
@@ -383,7 +396,9 @@ def run_training(stage: int, argv=None):
                 profiling = False
                 logger.info("device trace written to %s", args.profile_dir)
             global_step += 1
-            timers.step(global_step, loss=loss)
+            # loss is one step delayed (see above); label it as such so the
+            # progress line and tracker.log agree on which step it belongs to
+            timers.step(global_step, loss_prev_step=loss)
             if global_step % 20 == 0 and prev_aux is not None:
                 tracker.log(global_step - 1, loss=loss,
                             grad_norm=float(prev_aux["grad_norm"]))
