@@ -58,13 +58,14 @@ def _hsv_rgb(h: float) -> tuple:
     return (r * 255.0, g * 255.0, b * 255.0)
 
 
-def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray) -> np.ndarray:
+def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray,
+                  scale: float = 1.0) -> np.ndarray:
     H, W, _ = canvas.shape
     # the DATA-PREP rasterizer the PoseGuider was trained on uses width 5
     # (DWPose/dwpose_utils/util.py:73); the reference's second, inference-era
     # copy (src/dwpose/util.py:84) says 4 but is only used by the bit-rotted
     # train-time validation path
-    stickwidth = 5
+    stickwidth = int(np.round(5 * scale))
     candidate = np.asarray(candidate)
     subset = np.asarray(subset)
 
@@ -91,11 +92,13 @@ def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray)
             if index == -1:
                 continue
             px, py = candidate[index][0:2]
-            cv2.circle(canvas, (int(px * W), int(py * H)), 4, BODY_COLORS[i], thickness=-1)
+            cv2.circle(canvas, (int(px * W), int(py * H)),
+                       int(np.round(4 * scale)), BODY_COLORS[i], thickness=-1)
     return canvas
 
 
-def draw_handpose(canvas: np.ndarray, all_hand_peaks: Sequence[np.ndarray]) -> np.ndarray:
+def draw_handpose(canvas: np.ndarray, all_hand_peaks: Sequence[np.ndarray],
+                  scale: float = 1.0) -> np.ndarray:
     H, W, _ = canvas.shape
     for peaks in all_hand_peaks:
         peaks = np.asarray(peaks)
@@ -108,21 +111,25 @@ def draw_handpose(canvas: np.ndarray, all_hand_peaks: Sequence[np.ndarray]) -> n
         for px, py in peaks:
             x, y = int(px * W), int(py * H)
             if x > EPS and y > EPS:
-                cv2.circle(canvas, (x, y), 4, (0, 0, 255), thickness=-1)
+                cv2.circle(canvas, (x, y), int(np.round(4 * scale)),
+                           (0, 0, 255), thickness=-1)
     return canvas
 
 
-def draw_facepose(canvas: np.ndarray, all_lmks: Sequence[np.ndarray]) -> np.ndarray:
+def draw_facepose(canvas: np.ndarray, all_lmks: Sequence[np.ndarray],
+                  scale: float = 1.0) -> np.ndarray:
     H, W, _ = canvas.shape
     for lmks in all_lmks:
         for px, py in np.asarray(lmks):
             x, y = int(px * W), int(py * H)
             if x > EPS and y > EPS:
-                cv2.circle(canvas, (x, y), 3, (255, 255, 255), thickness=-1)
+                cv2.circle(canvas, (x, y), int(np.round(3 * scale)),
+                           (255, 255, 255), thickness=-1)
     return canvas
 
 
-def draw_footpose(canvas: np.ndarray, all_foot_peaks: Sequence[np.ndarray]) -> np.ndarray:
+def draw_footpose(canvas: np.ndarray, all_foot_peaks: Sequence[np.ndarray],
+                  scale: float = 1.0) -> np.ndarray:
     """Feet (6 points per person: reference extension, README.md:77)."""
     H, W, _ = canvas.shape
     for peaks in all_foot_peaks:
@@ -140,20 +147,27 @@ def draw_footpose(canvas: np.ndarray, all_foot_peaks: Sequence[np.ndarray]) -> n
         for px, py in peaks[2:]:
             x, y = int(px * W), int(py * H)
             if x > EPS and y > EPS:
-                cv2.circle(canvas, (x, y), 4, (0, 255, 0), thickness=-1)
+                cv2.circle(canvas, (x, y), int(np.round(4 * scale)),
+                           (0, 255, 0), thickness=-1)
     return canvas
 
 
-def draw_pose(pose: Dict[str, np.ndarray], H: int, W: int) -> np.ndarray:
+def draw_pose(pose: Dict[str, np.ndarray], H: int, W: int,
+              scale: float = 1.0) -> np.ndarray:
     """Rasterize a pose dict {bodies:{candidate,subset}, hands, faces[, feet]}
-    onto a black (H, W, 3) RGB canvas."""
+    onto a black (H, W, 3) RGB canvas.
+
+    ``scale`` is the UE-synthetic data-prep convention
+    (DWPose/dwpose_utils/smplx2openpose.py:21-25): stroke widths scale with
+    ``max(H, W) / 1920`` so skeletons render consistently across
+    resolutions. The real-video prep path uses scale 1."""
     canvas = np.zeros((H, W, 3), dtype=np.uint8)
     bodies = pose["bodies"]
-    canvas = draw_bodypose(canvas, bodies["candidate"], bodies["subset"])
+    canvas = draw_bodypose(canvas, bodies["candidate"], bodies["subset"], scale)
     if "hands" in pose and pose["hands"] is not None:
-        canvas = draw_handpose(canvas, pose["hands"])
+        canvas = draw_handpose(canvas, pose["hands"], scale)
     if "faces" in pose and pose["faces"] is not None:
-        canvas = draw_facepose(canvas, pose["faces"])
+        canvas = draw_facepose(canvas, pose["faces"], scale)
     if "feet" in pose and pose["feet"] is not None:
-        canvas = draw_footpose(canvas, pose["feet"])
+        canvas = draw_footpose(canvas, pose["feet"], scale)
     return canvas

@@ -58,9 +58,14 @@ def smplx_to_coco_wholebody(
 
 def render_frame(kpts133: np.ndarray, scores: np.ndarray,
                  width: int, height: int) -> np.ndarray:
-    """One frame of COCO-wholebody poses -> skeleton canvas (H, W, 3) uint8."""
+    """One frame of COCO-wholebody poses -> skeleton canvas (H, W, 3) uint8.
+
+    UE-prep stroke scaling: ``max(H, W) / 1920``
+    (DWPose/dwpose_utils/smplx2openpose.py:21-25).
+    """
     pose_px = wholebody_to_openpose(kpts133, scores)
-    return draw_pose(to_draw_format(pose_px, width, height), height, width)
+    return draw_pose(to_draw_format(pose_px, width, height), height, width,
+                     scale=max(height, width) / 1920.0)
 
 
 def visualize_video(

@@ -175,6 +175,36 @@ def test_golden_skeleton_rasterizer():
     assert mismatch == 0.0, f"rasterizer pixel mismatch fraction {mismatch}"
 
 
+def test_golden_skeleton_rasterizer_scaled():
+    """UE-prep stroke scaling (smplx2openpose.py:21-25): draw at
+    scale = max(H, W)/1920 and match the reference pixel-for-pixel.
+
+    Note the reference's real-video prep draw_pose
+    (dwpose_utils/__init__.py:30) passes FACES to draw_footpose — a bug we
+    deliberately do not replicate (feet are drawn from the foot keypoints,
+    as the UE-synthetic path and the in-repo rasterizer both do).
+    """
+    rng = np.random.default_rng(6)
+    H, W = 960, 540
+    scale = max(H, W) / 1920.0
+    candidate = rng.uniform(0.1, 0.9, size=(18, 2))
+    subset = np.arange(18, dtype=np.float64)[None]
+    hands = rng.uniform(0.1, 0.9, size=(2, 21, 2))
+    faces = rng.uniform(0.1, 0.9, size=(1, 68, 2))
+    feet = rng.uniform(0.1, 0.9, size=(1, 8, 2))
+
+    theirs = np.zeros((H, W, 3), np.uint8)
+    theirs = ref_util.draw_bodypose(theirs, candidate.copy(), subset.copy(), scale)
+    theirs = ref_util.draw_handpose(theirs, hands.copy(), scale)
+    theirs = ref_util.draw_facepose(theirs, faces.copy(), scale)
+    theirs = ref_util.draw_footpose(theirs, feet.copy(), scale)
+
+    ours = pose_draw.draw_pose(
+        {"bodies": {"candidate": candidate, "subset": subset},
+         "hands": hands, "faces": faces, "feet": feet}, H, W, scale=scale)
+    assert (ours != theirs).mean() == 0.0
+
+
 def test_golden_smplx_to_coco_wholebody():
     """Our precomputed SMPLX→COCO-wholebody index table vs the reference's
     by-name mapping (DWPose/dwpose_utils/smplx2openpose.py:28-47)."""
