@@ -205,6 +205,44 @@ def test_golden_skeleton_rasterizer_scaled():
     assert (ours != theirs).mean() == 0.0
 
 
+def test_golden_wholebody_to_openpose_remap():
+    """wholebody_to_openpose + to_draw_format vs the reference's remap chain
+    exec'd from source: neck synthesis + mmpose→openpose permutation
+    (wholebody.py:25-44) and normalization/masking/grouping
+    (dwpose_utils/__init__.py:44-70)."""
+    import textwrap
+
+    from humanvid_tpu.pose.detector import to_draw_format, wholebody_to_openpose
+
+    rng = np.random.default_rng(8)
+    n, H, W = 2, 480, 640
+    kpts = rng.uniform(0, [W, H], size=(n, 133, 2))
+    kscores = rng.uniform(0, 1, size=(n, 133))
+
+    # --- reference, exec'd verbatim ---
+    src = open("/root/reference/DWPose/dwpose_utils/wholebody.py").read().splitlines()
+    ns = {"np": np, "keypoints": kpts.copy(), "scores": kscores.copy()}
+    exec(textwrap.dedent("\n".join(src[24:44])), ns)  # noqa: S102
+    candidate, subset = ns["keypoints_info"][..., :2], ns["keypoints_info"][..., 2]
+
+    src = open("/root/reference/DWPose/dwpose_utils/__init__.py").read().splitlines()
+    ns = {"np": np, "candidate": candidate.copy(), "subset": subset.copy(),
+          "H": H, "W": W}
+    exec(textwrap.dedent("\n".join(src[43:70])), ns)  # noqa: S102
+    theirs = ns["pose"]
+
+    # --- ours ---
+    pose_px = wholebody_to_openpose(kpts, kscores)
+    ours = to_draw_format(pose_px, W, H)
+
+    np.testing.assert_allclose(
+        ours["bodies"]["candidate"], theirs["bodies"]["candidate"], rtol=1e-6)
+    np.testing.assert_array_equal(
+        ours["bodies"]["subset"], theirs["bodies"]["subset"])
+    for ok, tk in [("feet", "foots"), ("faces", "faces"), ("hands", "hands")]:
+        np.testing.assert_allclose(ours[ok], theirs[tk], rtol=1e-6, atol=1e-9)
+
+
 def test_golden_smplx_to_coco_wholebody():
     """Our precomputed SMPLX→COCO-wholebody index table vs the reference's
     by-name mapping (DWPose/dwpose_utils/smplx2openpose.py:28-47)."""
