@@ -37,8 +37,37 @@ def make_mesh(
     return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
 
 
-def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for batch-leading arrays: first axis split over ``axis``."""
+def make_hierarchical_mesh(
+    n_slices: int,
+    devices_per_slice: Optional[int] = None,
+    axis_names: Sequence[str] = ("replica", "data"),
+) -> Mesh:
+    """2-D DCN x ICI mesh for multi-slice data parallelism.
+
+    The outer ``replica`` axis spans slices (its gradient all-reduce segment
+    rides DCN once per step); the inner ``data`` axis spans one slice's
+    chips (ICI). ``jax.devices()`` orders devices slice-major on real
+    multi-slice systems, so the row-major reshape maps rows to slices; on
+    the virtual CPU mesh any divisible split works. Shard batches over BOTH
+    axes with ``shard_batch(mesh, ("replica", "data"))``; keep ZeRO-1
+    optimizer sharding on ``data`` only so its update all-gather stays on
+    ICI (``zero1_opt_sharding`` default).
+    """
+    devices = jax.devices()
+    if devices_per_slice is None:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices do not split into {n_slices} slices")
+        devices_per_slice = len(devices) // n_slices
+    n = n_slices * devices_per_slice
+    grid = np.asarray(devices[:n]).reshape(n_slices, devices_per_slice)
+    return Mesh(grid, axis_names=tuple(axis_names))
+
+
+def shard_batch(mesh: Mesh, axis="data") -> NamedSharding:
+    """Sharding for batch-leading arrays: first axis split over ``axis``
+    (a name, or a tuple of names to split over their product — e.g.
+    ``("replica", "data")`` on a hierarchical mesh)."""
     return NamedSharding(mesh, P(axis))
 
 

@@ -283,9 +283,22 @@ def run_training(stage: int, argv=None):
         logger.warning(
             "train_bs=%d not divisible by %d devices; using a %d-device mesh",
             batch_size, n_dev, n_mesh)
-    mesh = make_mesh(n_mesh)
+    # multi-slice: solver.dcn_slices > 1 builds a (replica=DCN, data=ICI)
+    # hierarchical mesh; the batch shards over both axes, ZeRO-1 stays on
+    # the intra-slice data axis so its all-gather rides ICI
+    n_slices = int(cfg.solver.get("dcn_slices", 1))
+    if n_slices > 1:
+        if n_mesh % n_slices:
+            raise ValueError(
+                f"dcn_slices={n_slices} does not divide the {n_mesh}-device mesh")
+        from humanvid_tpu.parallel.mesh import make_hierarchical_mesh
+        mesh = make_hierarchical_mesh(n_slices, n_mesh // n_slices)
+        batch_spec = P(("replica", "data"))
+    else:
+        mesh = make_mesh(n_mesh)
+        batch_spec = P("data")
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
+    shard = NamedSharding(mesh, batch_spec)
     if cfg.solver.get("shard_optimizer_states", False) and n_mesh > 1:
         # ZeRO-1: Adam moments sharded over the data axis; XLA all-gathers
         # the parameter updates. Full-scale stage 2 does not fit one chip's
