@@ -69,6 +69,21 @@ def test_golden_psnr_l1(ref_mods):
     np.testing.assert_allclose(ours_l1, np.abs(a - b).mean(), rtol=1e-6)
 
 
+def test_golden_frechet_distance():
+    """frechet_from_features vs the reference's frechet_distance
+    (metrics/utils/fvd.py compute_stats + scipy sqrtm) on random features."""
+    fvd = _load("ref_fvd2", "/root/reference/metrics/utils/fvd.py")
+
+    from humanvid_tpu.metrics.frechet import frechet_from_features
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(size=(40, 16)).astype(np.float64)
+    b = (rng.normal(size=(50, 16)) * 1.3 + 0.2).astype(np.float64)
+    theirs = fvd.frechet_distance(a, b)
+    ours = frechet_from_features([a], [b])
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8)
+
+
 def test_golden_fvd_preprocess():
     """metrics.i3d preprocessing vs the reference's preprocess_single
     (metrics/utils/fvd.py:42-69): non-antialiased half-pixel bilinear to
