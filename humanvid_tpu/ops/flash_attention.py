@@ -77,11 +77,16 @@ def _compiler_params():
     )
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *scratch,
-                heads: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest, heads: int, has_bias: bool):
     """Blocks: q (1, bq, C) PRE-SCALED by scale*log2e, k/v (1, bkv, C),
-    bias (1, 1, bkv) fp32 pre-multiplied by log2e. Scratch: per-head fp32
-    acc (bq, d), m (bq, 1), l (bq, 1)."""
+    optional bias (1, 1, bkv) fp32 pre-multiplied by log2e. Scratch: per-head
+    fp32 acc (bq, d), m (bq, 1), l (bq, 1). ``has_bias=False`` compiles the
+    common no-mask path (pure self-attention; cond rows in sequential CFG)
+    without the per-head (bq, bkv) VPU broadcast-add."""
+    if has_bias:
+        bias_ref, o_ref, lse_ref, *scratch = rest
+    else:
+        o_ref, lse_ref, *scratch = rest
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
     accs, ms, ls = (scratch[:heads], scratch[heads:2 * heads],
@@ -99,7 +104,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *scratch,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    bias_row = bias_ref[0, 0][None, :]  # (1, bkv) fp32, log2 units
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         # MXU: operands stay in their storage dtype (bf16 runs at full
@@ -107,7 +111,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *scratch,
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_row  # (bq, bkv), log2 domain, bias included
+        )  # (bq, bkv), log2 domain
+        if has_bias:
+            logits = logits + bias_ref[0, 0][None, :]
         m_prev, l_prev = ms[h][:], ls[h][:]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -149,23 +155,31 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
     qs = (q * q.dtype.type(scale * LOG2E)).astype(q.dtype)
     if lq_pad != lq:
         qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if key_bias is None and lk_pad != lk:
+        # padding keys must be hidden: take the bias path with a zero bias
+        key_bias = jnp.zeros((b, lk), jnp.float32)
     if lk_pad != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, 0)))
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                            constant_values=NEG_INF)
-    bias3 = (key_bias * LOG2E).astype(jnp.float32)[:, None, :]
+    has_bias = key_bias is not None
+    inputs = [qs, k, v]
+    in_specs = [
+        pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+    ]
+    if has_bias:
+        inputs.append((key_bias * LOG2E).astype(jnp.float32)[:, None, :])
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)))
 
     grid = (b, lq_pad // block_q, lk_pad // block_kv)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads),
+        functools.partial(_fwd_kernel, heads=heads, has_bias=has_bias),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, i)),
@@ -179,7 +193,7 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
             + [pltpu.VMEM((block_q, 1), jnp.float32)] * (2 * heads)
         ),
         compiler_params=_compiler_params(),
-    )(qs, k, v, bias3)
+    )(*inputs)
     out = out[:, :lq] if lq_pad != lq else out
     if with_lse:
         lse = lse[:, :, :lq] if lq_pad != lq else lse
@@ -196,11 +210,15 @@ def _xla_reference(q, k, v, key_bias):
     return jnp.einsum("bqk,bkd->bqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *scratch, heads: int, scale: float):
+def _dkv_kernel(q_ref, k_ref, v_ref, *rest, heads: int, scale: float,
+                has_bias: bool):
     """Grid (B, kv_blocks, q_blocks); q innermost (sequential). Recomputes p
     from (q, k, bias, lse) per head and accumulates per-head dk/dv for one kv
     block across all q blocks in VMEM scratch."""
+    if has_bias:
+        bias_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *scratch = rest
+    else:
+        g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *scratch = rest
     j = pl.program_id(2)
     num_q = pl.num_programs(2)
     dks, dvs = scratch[:heads], scratch[heads:]
@@ -217,7 +235,6 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     g = g_ref[0]
-    bias_row = bias_ref[0, 0][None, :]  # (1, bkv), log2 units
     dtype = q.dtype
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
@@ -225,7 +242,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
         logits = jax.lax.dot_general(
             qh * dtype.type(scale * LOG2E), kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_row  # (bq, bkv)
+        )  # (bq, bkv)
+        if has_bias:
+            logits = logits + bias_ref[0, 0][None, :]
         p = jnp.exp2(logits - lse_ref[0, h][:, None])
         # dv_h += p^T g_h
         dvs[h][:] = dvs[h][:] + jax.lax.dot_general(
@@ -252,9 +271,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
             [dvs[h][:].astype(dv_ref.dtype) for h in range(heads)], axis=-1)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
-               dq_ref, *scratch, heads: int, scale: float):
+def _dq_kernel(q_ref, k_ref, v_ref, *rest, heads: int, scale: float,
+               has_bias: bool):
     """Grid (B, q_blocks, kv_blocks); kv innermost (sequential)."""
+    if has_bias:
+        bias_ref, g_ref, lse_ref, delta_ref, dq_ref, *scratch = rest
+    else:
+        g_ref, lse_ref, delta_ref, dq_ref, *scratch = rest
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
     dqs = scratch
@@ -270,7 +293,6 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     g = g_ref[0]
-    bias_row = bias_ref[0, 0][None, :]
     dtype = q.dtype
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
@@ -278,7 +300,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, delta_ref,
         logits = jax.lax.dot_general(
             qh * dtype.type(scale * LOG2E), kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_row
+        )
+        if has_bias:
+            logits = logits + bias_ref[0, 0][None, :]
         p = jnp.exp2(logits - lse_ref[0, h][:, None])
         dp = jax.lax.dot_general(
             gh, vh, (((1,), (1,)), ((), ())),
@@ -324,13 +348,17 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
         # sliced off
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad - lq)))
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq)))
+    if key_bias is None and lk_pad != lk:
+        key_bias = jnp.zeros((b, lk), jnp.float32)
     if lk_pad != lk:
         pad = ((0, 0), (0, lk_pad - lk), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                            constant_values=NEG_INF)
-    bias3 = (key_bias * LOG2E).astype(jnp.float32)[:, None, :]
+    has_bias = key_bias is not None
+    bias_in = ([(key_bias * LOG2E).astype(jnp.float32)[:, None, :]]
+               if has_bias else [])
 
     kv_specs = dict(
         q=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, j, 0)),
@@ -339,10 +367,12 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
         row=pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, j)),
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, heads=heads, scale=scale),
+        functools.partial(_dkv_kernel, heads=heads, scale=scale,
+                          has_bias=has_bias),
         grid=(b, lk_pad // block_kv, lq_pad // block_q),
         in_specs=[
-            kv_specs["q"], kv_specs["k"], kv_specs["k"], kv_specs["bias"],
+            kv_specs["q"], kv_specs["k"], kv_specs["k"],
+            *([kv_specs["bias"]] if has_bias else []),
             kv_specs["q"], kv_specs["row"], kv_specs["row"],
         ],
         out_specs=[
@@ -355,7 +385,7 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
         ],
         scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32)] * (2 * heads),
         compiler_params=_compiler_params(),
-    )(q, k, v, bias3, g, lse, delta)
+    )(q, k, v, *bias_in, g, lse, delta)
 
     q_specs = dict(
         q=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
@@ -364,17 +394,19 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
         row=pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, i)),
     )
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, heads=heads, scale=scale),
+        functools.partial(_dq_kernel, heads=heads, scale=scale,
+                          has_bias=has_bias),
         grid=(b, lq_pad // block_q, lk_pad // block_kv),
         in_specs=[
-            q_specs["q"], q_specs["k"], q_specs["k"], q_specs["bias"],
+            q_specs["q"], q_specs["k"], q_specs["k"],
+            *([q_specs["bias"]] if has_bias else []),
             q_specs["q"], q_specs["row"], q_specs["row"],
         ],
         out_specs=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lq_pad, c), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)] * heads,
         compiler_params=_compiler_params(),
-    )(q, k, v, bias3, g, lse, delta)
+    )(q, k, v, *bias_in, g, lse, delta)
 
     dq = dq[:, :lq] if lq_pad != lq else dq
     dk = dk[:, :lk] if lk_pad != lk else dk
@@ -434,7 +466,8 @@ def _flash_vjp_bwd_chunked(heads, res, g):
     g_chunks = gp.reshape(b * heads, n, chunk, d).transpose(1, 0, 2, 3)
     kf = split(k).astype(jnp.float32)
     vf = split(v).astype(jnp.float32)
-    bias = jnp.repeat(key_bias, heads, axis=0)[:, None, :].astype(jnp.float32)
+    bias = (0.0 if key_bias is None else
+            jnp.repeat(key_bias, heads, axis=0)[:, None, :].astype(jnp.float32))
     # padded q rows see plain softmax over real keys — their grads are
     # multiplied by zero g anyway.
 
@@ -479,11 +512,13 @@ def flash_attention_packed(
     b, lq, c = q.shape
     lk = k.shape[1]
     assert c % heads == 0, (c, heads)
-    if key_bias is None:
-        key_bias = jnp.zeros((b, lk), jnp.float32)
+    # key_bias=None stays None end to end: the kernels compile a biasless
+    # variant that skips the per-head (bq, bkv) VPU broadcast-add.
+    if key_bias is not None:
+        key_bias = key_bias.astype(jnp.float32)
     bq = min(block_q or _DEFAULT_BLOCK_Q, _ceil_to(lq, 128))
     bkv = min(block_kv or _DEFAULT_BLOCK_KV, _ceil_to(lk, 128))
-    return _flash(q, k, v, key_bias.astype(jnp.float32), heads, bq, bkv)
+    return _flash(q, k, v, key_bias, heads, bq, bkv)
 
 
 def flash_attention(

@@ -44,6 +44,13 @@ class TrainConfig:
     uncond_ratio: float = 0.1
     noise_offset: float = 0.05
     snr_gamma: float = 5.0
+    # Frames per frozen-VAE-encode call, scanned via lax.map. The batched
+    # encode's full-resolution 128-channel activations are the largest HLO
+    # temps of the stage-2 step (3x bf16[24,896,512,128] = 7.9 GB of the
+    # 16.3 GB single-chip footprint — tools/stage2_memcheck.py); the encode
+    # carries no gradients, so chunking it costs nothing but loop overhead.
+    # 0 disables; chunking also auto-disables when it doesn't divide b*f.
+    vae_encode_chunk: int = 4
 
 
 def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
@@ -66,7 +73,15 @@ def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
 
         # --- frozen encoders ---
         tgt = batch["tgt"].reshape((b * f, H, W, 3))
-        moments = system.vae_encoder.apply(frozen["vae_encoder"], tgt)
+        n, c = b * f, cfg.vae_encode_chunk
+        if c and c < n and n % c == 0:
+            moments = jax.lax.map(
+                lambda x: system.vae_encoder.apply(frozen["vae_encoder"], x),
+                tgt.reshape((n // c, c, H, W, 3)),
+            )
+            moments = moments.reshape((n,) + moments.shape[2:])
+        else:
+            moments = system.vae_encoder.apply(frozen["vae_encoder"], tgt)
         latents = gaussian_sample(moments, r_vae1) * scaling
         lat_shape = latents.shape  # (b*f, h8, w8, 4)
         latents = latents.reshape((b, f) + lat_shape[1:])

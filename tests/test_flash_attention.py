@@ -145,3 +145,47 @@ def test_flash_packed_interface_matches_reference():
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5)
     for a, b_ in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_flash_packed_no_bias_variant():
+    """key_bias=None compiles the biasless kernels (no per-head (bq, bkv)
+    VPU broadcast-add — the production path for pure self-attention and the
+    sequential-CFG cond pass). Must match the zero-bias oracle, fwd + bwd,
+    including the padded-Lk case where the padding mask is synthesized."""
+    from humanvid_tpu.ops.flash_attention import flash_attention_packed
+
+    b, heads, d = 2, 4, 16
+    c = heads * d
+
+    def split(t, lo=0):
+        return (t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
+                .reshape(b * heads, t.shape[1], d))
+
+    for lq, lk in [(256, 384), (200, 260)]:  # exact blocks / padded
+        ks = jax.random.split(jax.random.PRNGKey(lq), 3)
+        q = jax.random.normal(ks[0], (b, lq, c), jnp.float32)
+        k = jax.random.normal(ks[1], (b, lk, c), jnp.float32)
+        v = jax.random.normal(ks[2], (b, lk, c), jnp.float32)
+
+        def loss_packed(q_, k_, v_):
+            out = flash_attention_packed(q_, k_, v_, heads, None,
+                                         block_q=128, block_kv=128)
+            return (out.astype(jnp.float32) ** 2).sum(), out
+
+        def loss_ref(q_, k_, v_):
+            out = _xla_reference(split(q_), split(k_), split(v_),
+                                 jnp.zeros((b * heads, lk), jnp.float32))
+            merged = (out.reshape(b, heads, -1, d).transpose(0, 2, 1, 3)
+                      .reshape(b, -1, c))
+            return (merged.astype(jnp.float32) ** 2).sum(), merged
+
+        with pltpu.force_tpu_interpret_mode():
+            (_, out_p), g_p = jax.value_and_grad(
+                loss_packed, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        (_, out_r), g_r = jax.value_and_grad(
+            loss_ref, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                                   atol=2e-5)
+        for a, b_ in zip(g_p, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-4)

@@ -143,3 +143,27 @@ def test_adam_mu_dtype_bf16():
     mus = [x for x in jax.tree_util.tree_leaves(st)
            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
     assert mus, "no bf16 moment found in optimizer state"
+
+
+def test_vae_encode_chunking_matches_unchunked(setup):
+    """TrainConfig.vae_encode_chunk scans the frozen VAE encode over frame
+    chunks (the stage-2 memory fix — tools/stage2_memcheck.py); the loss must
+    match the single-call encode. b*f = 4 here, chunk 2 -> 2 lax.map steps."""
+    from humanvid_tpu.train.step import make_loss_fn
+
+    system, trainable, frozen, batch = setup
+    sched = system.make_schedule(beta_schedule="scaled_linear")
+    rng = jax.random.PRNGKey(7)
+    base = make_loss_fn(system, sched,
+                        TrainConfig(uncond_ratio=0.0, vae_encode_chunk=0))
+    chunked = make_loss_fn(system, sched,
+                           TrainConfig(uncond_ratio=0.0, vae_encode_chunk=2))
+    l0, _ = base(trainable, frozen, batch, rng)
+    l1, _ = chunked(trainable, frozen, batch, rng)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-5, atol=1e-6)
+    # non-dividing chunk falls back to the single call
+    odd = make_loss_fn(system, sched,
+                       TrainConfig(uncond_ratio=0.0, vae_encode_chunk=3))
+    l2, _ = odd(trainable, frozen, batch, rng)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l2), rtol=0, atol=0)
