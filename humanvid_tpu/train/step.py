@@ -49,8 +49,17 @@ class TrainConfig:
     # temps of the stage-2 step (3x bf16[24,896,512,128] = 7.9 GB of the
     # 16.3 GB single-chip footprint — tools/stage2_memcheck.py); the encode
     # carries no gradients, so chunking it costs nothing but loop overhead.
-    # 0 disables; chunking also auto-disables when it doesn't divide b*f.
+    # 0 disables; when the value doesn't divide b*f, the largest divisor
+    # <= it is used instead so a batch-shape change degrades gracefully
+    # rather than reverting to the memory-heavy full-batch encode.
     vae_encode_chunk: int = 4
+    # Rematerialize the PoseGuider and CameraPoseEncoder forwards. Both run
+    # at full/8 resolution over every frame, and the camera encoder is
+    # trainable in BOTH stages, so without remat its interior activations
+    # (conv_in/resnet/attention q-k-v, 126 MB each at the stage-2 op-point —
+    # the r3 memcheck's items 5-8) stay live across the whole UNet pass.
+    # Recompute cost is ~0.08 s per 24 frames (PERF.md component budget).
+    remat_cond_encoders: bool = True
 
 
 def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
@@ -74,7 +83,10 @@ def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
         # --- frozen encoders ---
         tgt = batch["tgt"].reshape((b * f, H, W, 3))
         n, c = b * f, cfg.vae_encode_chunk
-        if c and c < n and n % c == 0:
+        if c and c < n:
+            while n % c:  # largest divisor <= requested chunk, never disable
+                c -= 1
+        if c and c < n:
             moments = jax.lax.map(
                 lambda x: system.vae_encoder.apply(frozen["vae_encoder"], x),
                 tgt.reshape((n // c, c, H, W, 3)),
@@ -113,11 +125,16 @@ def make_loss_fn(system: CamAnimate, sched: NoiseSchedule, cfg: TrainConfig):
             params["reference_unet"], ref_latents, jnp.zeros((b,), jnp.float32),
             ctx, collect_ref_features=True,
         )
-        pose_fea = system.pose_guider.apply(
+        pose_apply = system.pose_guider.apply
+        cam_apply = lambda p, x: system.camera_encoder.apply(p, x, f)  # noqa: E731
+        if cfg.remat_cond_encoders:
+            pose_apply = jax.checkpoint(pose_apply)
+            cam_apply = jax.checkpoint(cam_apply)
+        pose_fea = pose_apply(
             params["pose_guider"], batch["pose"].reshape((b * f, H, W, 3))
         )
-        cam_fea = system.camera_encoder.apply(
-            params["camera_encoder"], batch["plucker"].reshape((b * f, H, W, 6)), f
+        cam_fea = cam_apply(
+            params["camera_encoder"], batch["plucker"].reshape((b * f, H, W, 6))
         )
         ref_disable = jnp.broadcast_to(uncond, (b,))
         pred, _ = system.denoising_unet.apply(

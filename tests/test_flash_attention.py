@@ -157,11 +157,12 @@ def test_flash_packed_no_bias_variant():
     b, heads, d = 2, 4, 16
     c = heads * d
 
-    def split(t, lo=0):
+    def split(t):
         return (t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
                 .reshape(b * heads, t.shape[1], d))
 
-    for lq, lk in [(256, 384), (200, 260)]:  # exact blocks / padded
+    # exact blocks / both padded / padded-Lq with exact Lk
+    for lq, lk in [(256, 384), (200, 260), (200, 256)]:
         ks = jax.random.split(jax.random.PRNGKey(lq), 3)
         q = jax.random.normal(ks[0], (b, lq, c), jnp.float32)
         k = jax.random.normal(ks[1], (b, lk, c), jnp.float32)

@@ -162,8 +162,9 @@ def test_vae_encode_chunking_matches_unchunked(setup):
     l1, _ = chunked(trainable, frozen, batch, rng)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                rtol=1e-5, atol=1e-6)
-    # non-dividing chunk falls back to the single call
+    # non-dividing chunk degrades to the largest divisor (3 -> 2 here),
+    # never to the memory-heavy full-batch encode
     odd = make_loss_fn(system, sched,
                        TrainConfig(uncond_ratio=0.0, vae_encode_chunk=3))
     l2, _ = odd(trainable, frozen, batch, rng)
-    np.testing.assert_allclose(np.asarray(l0), np.asarray(l2), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=0, atol=0)
