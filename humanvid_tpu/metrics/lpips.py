@@ -57,7 +57,11 @@ class LPIPS(nn.Module):
         shift, scale = jnp.asarray(_SHIFT), jnp.asarray(_SCALE)
 
         def norm_input(im):
-            im = im * 2.0 - 1.0  # lpips expects [-1, 1]
+            # The reference feeds ToTensor [0,1] images straight into
+            # BaseNet.z_score with no [-1,1] rescale (metrics/metrics.py:93-100,
+            # scripts/eval_pose2img.py:273; modules/networks.py:50-51) — even
+            # though lpipsPyTorch's shift/scale constants were fit for the
+            # [-1,1] domain. Parity requires matching their convention.
             return (im - shift) / scale
 
         vgg = VGG16Features(name="vgg")
@@ -66,12 +70,16 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
-            a = a / jnp.sqrt((a * a).sum(-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt((b * b).sum(-1, keepdims=True) + 1e-10)
+            # normalize_activation (modules/utils.py:6-8): x / (||x||_c + eps)
+            a = a / (jnp.sqrt((a * a).sum(-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt((b * b).sum(-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
+            # lin layers are plain 1x1 convs, bias-free and applied raw
+            # (modules/networks.py:24-31, modules/lpips.py:33-36); the
+            # released lpips weights are non-negative by training, not
+            # clamped at use
             w = self.param(f"lin_{i}", nn.initializers.ones, (d.shape[-1],))
-            # lpips lin layers are 1x1 convs with non-negative weights
-            contrib = (d * jax.nn.relu(w)[None, None, None, :]).sum(-1)
+            contrib = (d * w[None, None, None, :]).sum(-1)
             total = total + contrib.mean(axis=(1, 2))
         return total  # (n,)
 
