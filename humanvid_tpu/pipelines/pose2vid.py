@@ -412,6 +412,7 @@ class Pose2VideoPipeline:
         window_mode: str = "batched",
         device_output: bool = False,
         steps_per_launch: Optional[int] = None,
+        init_latents: Optional[np.ndarray] = None,
     ) -> Pose2VideoOutput:
         from ..models.clip_vision import clip_preprocess
 
@@ -447,6 +448,11 @@ class Pose2VideoPipeline:
 
         ctx, ref_feats, pose_fea, latents = self._prepare_fn(do_cfg)(
             params, ref_img, clip_img, pose, (h8, w8), rng)
+        if init_latents is not None:
+            # deterministic injection (trajectory goldens / reproducing a
+            # reference run: prepare_latents accepts the same override,
+            # pipeline_pose2vid_long.py:309-339)
+            latents = jnp.asarray(init_latents, dtype)
         # hard barrier before the big fused program: on the axon remote backend,
         # launching it while the encode program is still in flight crashes
         # the TPU worker ("UNAVAILABLE ... kernel fault"); the sync costs

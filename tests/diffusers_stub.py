@@ -29,6 +29,7 @@ import math
 import sys
 import types
 
+import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -85,6 +86,18 @@ class ModelMixin(nn.Module):
     @property
     def device(self):
         return next(self.parameters()).device
+
+    def __getattr__(self, name):
+        # diffusers ModelMixin/ConfigMixin legacy fallback: attributes of the
+        # registered config are readable on the model (e.g.
+        # `denoising_unet.in_channels`, pipeline_pose2vid_long.py:408)
+        try:
+            return super().__getattr__(name)
+        except AttributeError:
+            d = self.__dict__.get("_internal_dict")
+            if d is not None and name in d:
+                return d[name]
+            raise
 
 
 class UNet2DConditionLoadersMixin:
@@ -514,6 +527,270 @@ class AttnAddedKVProcessor(_Unused):
 
 
 # ---------------------------------------------------------------------------
+# pipeline-level leaves (diffusers v0.24): DiffusionPipeline shell,
+# VaeImageProcessor, DDIMScheduler, randn_tensor — everything
+# pipeline_pose2vid_long.py imports beyond the model leaves above, so the
+# reference's full sampling loop can run under torch for trajectory goldens.
+# ---------------------------------------------------------------------------
+
+
+def is_accelerate_available():
+    return False
+
+
+def randn_tensor(shape, generator=None, device=None, dtype=None, layout=None):
+    """diffusers.utils.torch_utils.randn_tensor (v0.24) for the single-
+    generator CPU case the goldens use."""
+    if isinstance(generator, list):
+        raise NotImplementedError("stub randn_tensor: generator lists")
+    return torch.randn(shape, generator=generator, dtype=dtype,
+                       layout=layout or torch.strided)
+
+
+class DiffusionPipeline(ConfigMixin):
+    """Attribute-bag pipeline base: register_modules + progress_bar are the
+    only behaviors the reference pipelines rely on."""
+
+    config_name = "model_index.json"
+
+    def register_modules(self, **kwargs):
+        for name, module in kwargs.items():
+            setattr(self, name, module)
+
+    @property
+    def device(self):
+        return torch.device("cpu")
+
+    def progress_bar(self, total=None, iterable=None):
+        class _Bar:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def update(self, n=1):
+                pass
+
+        if iterable is not None:
+            return iterable
+        return _Bar()
+
+    def enable_xformers_memory_efficient_attention(self):
+        raise NotImplementedError("stub pipeline: xformers")
+
+
+class VaeImageProcessor(ConfigMixin):
+    """v0.24 preprocess path for PIL inputs: optional LANCZOS resize ->
+    [0,1] float tensor (1, c, h, w) -> optional [-1,1] normalize."""
+
+    @register_to_config
+    def __init__(self, do_resize=True, vae_scale_factor=8, resample="lanczos",
+                 do_normalize=True, do_binarize=False, do_convert_rgb=False,
+                 do_convert_grayscale=False):
+        pass
+
+    def preprocess(self, image, height=None, width=None):
+        import PIL.Image
+        import numpy as np_
+
+        if not isinstance(image, PIL.Image.Image):
+            raise NotImplementedError("stub VaeImageProcessor: PIL only")
+        if self.config.do_convert_rgb:
+            image = image.convert("RGB")
+        if self.config.do_resize and height is not None and width is not None:
+            resample = {"lanczos": PIL.Image.LANCZOS,
+                        "bilinear": PIL.Image.BILINEAR,
+                        "bicubic": PIL.Image.BICUBIC}[self.config.resample]
+            image = image.resize((width, height), resample=resample)
+        arr = np_.asarray(image).astype(np_.float32) / 255.0
+        tensor = torch.from_numpy(arr).permute(2, 0, 1)[None]
+        if self.config.do_normalize:
+            tensor = 2.0 * tensor - 1.0
+        if self.config.do_binarize:
+            raise NotImplementedError("stub VaeImageProcessor: binarize")
+        return tensor
+
+
+class _SchedulerOutput(BaseOutput):
+    def __init__(self, prev_sample, pred_original_sample=None):
+        self.prev_sample = prev_sample
+        self.pred_original_sample = pred_original_sample
+
+
+def _rescale_zero_terminal_snr(betas):
+    """diffusers.schedulers.scheduling_ddim.rescale_zero_terminal_snr (v0.24),
+    float32 torch math exactly as shipped."""
+    alphas = 1.0 - betas
+    alphas_cumprod = torch.cumprod(alphas, dim=0)
+    alphas_bar_sqrt = alphas_cumprod.sqrt()
+
+    alphas_bar_sqrt_0 = alphas_bar_sqrt[0].clone()
+    alphas_bar_sqrt_T = alphas_bar_sqrt[-1].clone()
+    alphas_bar_sqrt -= alphas_bar_sqrt_T
+    alphas_bar_sqrt *= alphas_bar_sqrt_0 / (alphas_bar_sqrt_0 - alphas_bar_sqrt_T)
+
+    alphas_bar = alphas_bar_sqrt**2
+    alphas = alphas_bar[1:] / alphas_bar[:-1]
+    alphas = torch.cat([alphas_bar[0:1], alphas])
+    return 1.0 - alphas
+
+
+class DDIMScheduler(ConfigMixin):
+    """diffusers v0.24 DDIMScheduler twin: float32 torch beta tables,
+    zero-SNR rescale, leading/trailing/linspace spacing, steps_offset,
+    epsilon/v/sample prediction, deterministic + eta-noise step. Thresholding
+    is not implemented (off in every HumanVid config)."""
+
+    order = 1
+
+    @register_to_config
+    def __init__(self, num_train_timesteps=1000, beta_start=0.0001,
+                 beta_end=0.02, beta_schedule="linear", trained_betas=None,
+                 clip_sample=True, set_alpha_to_one=True, steps_offset=0,
+                 prediction_type="epsilon", thresholding=False,
+                 dynamic_thresholding_ratio=0.995, clip_sample_range=1.0,
+                 sample_max_value=1.0, timestep_spacing="leading",
+                 rescale_betas_zero_snr=False):
+        if trained_betas is not None:
+            betas = torch.tensor(trained_betas, dtype=torch.float32)
+        elif beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        elif beta_schedule == "scaled_linear":
+            betas = torch.linspace(beta_start**0.5, beta_end**0.5,
+                                   num_train_timesteps,
+                                   dtype=torch.float32) ** 2
+        else:
+            raise NotImplementedError(f"stub DDIM: {beta_schedule}")
+        if thresholding:
+            raise NotImplementedError("stub DDIM: thresholding")
+        if rescale_betas_zero_snr:
+            betas = _rescale_zero_terminal_snr(betas)
+        self.betas = betas
+        self.alphas = 1.0 - betas
+        self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+        self.final_alpha_cumprod = (torch.tensor(1.0) if set_alpha_to_one
+                                    else self.alphas_cumprod[0])
+        self.init_noise_sigma = 1.0
+        self.num_inference_steps = None
+        self.timesteps = torch.from_numpy(
+            np.arange(0, num_train_timesteps)[::-1].copy().astype(np.int64))
+
+    def scale_model_input(self, sample, timestep=None):
+        return sample
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        cfg = self.config
+        T = cfg.num_train_timesteps
+        if num_inference_steps > T:
+            raise ValueError("num_inference_steps > num_train_timesteps")
+        self.num_inference_steps = num_inference_steps
+        if cfg.timestep_spacing == "linspace":
+            ts = (np.linspace(0, T - 1, num_inference_steps).round()[::-1]
+                  .copy().astype(np.int64))
+        elif cfg.timestep_spacing == "leading":
+            step_ratio = T // num_inference_steps
+            ts = ((np.arange(0, num_inference_steps) * step_ratio).round()
+                  [::-1].copy().astype(np.int64))
+            ts += cfg.steps_offset
+        elif cfg.timestep_spacing == "trailing":
+            step_ratio = T / num_inference_steps
+            ts = np.round(np.arange(T, 0, -step_ratio)).astype(np.int64) - 1
+        else:
+            raise ValueError(f"unknown spacing {cfg.timestep_spacing}")
+        self.timesteps = torch.from_numpy(ts).to(device)
+
+    def _get_variance(self, timestep, prev_timestep):
+        alpha_prod_t = self.alphas_cumprod[timestep]
+        alpha_prod_t_prev = (self.alphas_cumprod[prev_timestep]
+                             if prev_timestep >= 0 else self.final_alpha_cumprod)
+        beta_prod_t = 1 - alpha_prod_t
+        beta_prod_t_prev = 1 - alpha_prod_t_prev
+        return (beta_prod_t_prev / beta_prod_t) * (
+            1 - alpha_prod_t / alpha_prod_t_prev)
+
+    def step(self, model_output, timestep, sample, eta=0.0,
+             use_clipped_model_output=False, generator=None,
+             variance_noise=None, return_dict=True):
+        if self.num_inference_steps is None:
+            raise ValueError("call set_timesteps first")
+        cfg = self.config
+        prev_timestep = (timestep
+                         - cfg.num_train_timesteps // self.num_inference_steps)
+        alpha_prod_t = self.alphas_cumprod[timestep]
+        alpha_prod_t_prev = (self.alphas_cumprod[prev_timestep]
+                             if prev_timestep >= 0 else self.final_alpha_cumprod)
+        beta_prod_t = 1 - alpha_prod_t
+
+        if cfg.prediction_type == "epsilon":
+            pred_original_sample = (
+                sample - beta_prod_t ** 0.5 * model_output) / alpha_prod_t ** 0.5
+            pred_epsilon = model_output
+        elif cfg.prediction_type == "sample":
+            pred_original_sample = model_output
+            pred_epsilon = (
+                sample - alpha_prod_t ** 0.5 * pred_original_sample
+            ) / beta_prod_t ** 0.5
+        elif cfg.prediction_type == "v_prediction":
+            pred_original_sample = (alpha_prod_t ** 0.5) * sample - (
+                beta_prod_t ** 0.5) * model_output
+            pred_epsilon = (alpha_prod_t ** 0.5) * model_output + (
+                beta_prod_t ** 0.5) * sample
+        else:
+            raise ValueError(cfg.prediction_type)
+
+        if cfg.clip_sample:
+            pred_original_sample = pred_original_sample.clamp(
+                -cfg.clip_sample_range, cfg.clip_sample_range)
+
+        variance = self._get_variance(timestep, prev_timestep)
+        std_dev_t = eta * variance ** 0.5
+
+        if use_clipped_model_output:
+            pred_epsilon = (
+                sample - alpha_prod_t ** 0.5 * pred_original_sample
+            ) / beta_prod_t ** 0.5
+
+        pred_sample_direction = (
+            1 - alpha_prod_t_prev - std_dev_t**2) ** 0.5 * pred_epsilon
+        prev_sample = (alpha_prod_t_prev ** 0.5 * pred_original_sample
+                       + pred_sample_direction)
+
+        if eta > 0:
+            if variance_noise is None:
+                variance_noise = randn_tensor(
+                    model_output.shape, generator=generator,
+                    dtype=model_output.dtype)
+            prev_sample = prev_sample + std_dev_t * variance_noise
+
+        if not return_dict:
+            return (prev_sample,)
+        return _SchedulerOutput(prev_sample=prev_sample,
+                                pred_original_sample=pred_original_sample)
+
+
+class PNDMScheduler(_Unused):
+    pass
+
+
+class LMSDiscreteScheduler(_Unused):
+    pass
+
+
+class EulerDiscreteScheduler(_Unused):
+    pass
+
+
+class EulerAncestralDiscreteScheduler(_Unused):
+    pass
+
+
+class DPMSolverMultistepScheduler(_Unused):
+    pass
+
+
+# ---------------------------------------------------------------------------
 # module assembly + installation
 # ---------------------------------------------------------------------------
 
@@ -551,8 +828,18 @@ def install_stub():
         is_torch_version=is_torch_version, USE_PEFT_BACKEND=USE_PEFT_BACKEND,
         SAFETENSORS_WEIGHTS_NAME=SAFETENSORS_WEIGHTS_NAME,
         WEIGHTS_NAME=WEIGHTS_NAME, scale_lora_layers=scale_lora_layers,
-        unscale_lora_layers=unscale_lora_layers)
-    _module("diffusers.utils.torch_utils", apply_freeu=apply_freeu)
+        unscale_lora_layers=unscale_lora_layers,
+        is_accelerate_available=is_accelerate_available)
+    _module("diffusers.utils.torch_utils", apply_freeu=apply_freeu,
+            randn_tensor=randn_tensor)
+    _module("diffusers.image_processor", VaeImageProcessor=VaeImageProcessor)
+    _module(
+        "diffusers.schedulers",
+        DDIMScheduler=DDIMScheduler, PNDMScheduler=PNDMScheduler,
+        LMSDiscreteScheduler=LMSDiscreteScheduler,
+        EulerDiscreteScheduler=EulerDiscreteScheduler,
+        EulerAncestralDiscreteScheduler=EulerAncestralDiscreteScheduler,
+        DPMSolverMultistepScheduler=DPMSolverMultistepScheduler)
     _module("diffusers.utils.import_utils",
             is_xformers_available=is_xformers_available)
     _module("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
@@ -599,7 +886,11 @@ def install_stub():
     models_mod.attention_processor = sys.modules["diffusers.models.attention_processor"]
     utils_mod = sys.modules["diffusers.utils"]
     utils_mod.logging = logging_mod
-    top = _module("diffusers", _IS_HVT_STUB=True)
+    top = _module("diffusers", _IS_HVT_STUB=True,
+                  DiffusionPipeline=DiffusionPipeline,
+                  DDIMScheduler=DDIMScheduler)
     top.utils = utils_mod
     top.models = models_mod
     top.configuration_utils = sys.modules["diffusers.configuration_utils"]
+    top.schedulers = sys.modules["diffusers.schedulers"]
+    top.image_processor = sys.modules["diffusers.image_processor"]
