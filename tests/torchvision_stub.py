@@ -17,6 +17,7 @@ from the in-process ``URL_STATE_DICTS`` registry that tests populate with
 random-valued state dicts. Unsupported paths raise loudly.
 """
 
+import importlib.machinery
 import sys
 import types
 
@@ -261,6 +262,12 @@ def inception_v3(weights=None, **kwargs):
 
 def _module(name, **attrs):
     mod = types.ModuleType(name)
+    # a real ModuleSpec: importlib.util.find_spec raises ValueError on
+    # sys.modules entries whose __spec__ is None, which would break every
+    # LATER ``import transformers`` in the pytest process (its import_utils
+    # probes find_spec("torchvision") at import time)
+    mod.__spec__ = importlib.machinery.ModuleSpec(
+        name, loader=None, is_package="." not in name)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

@@ -1,0 +1,170 @@
+"""Device-trace component budget of the video-UNet pass (and VAE decode).
+
+Runs the flagship-shape UNet CFG-half (768x512, 24 frames — BASELINE config
+#3) under ``jax.profiler.trace`` and reduces the XLA device timeline into an
+op-class budget: Pallas attention kernels, convolutions, elementwise fusions,
+reduce (GroupNorm-style) fusions, copies/relayouts. This reproduces the
+round-1 "where the UNet pass goes" table (PERF.md) so kernel swaps can be
+re-attributed instead of hand-parsed from Perfetto.
+
+Usage:  python tools/trace_budget.py [unet] [vae]   (default: unet)
+Output: one JSON line per traced program + a top-op listing on stderr.
+"""
+
+import glob
+import gzip
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from humanvid_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W, F = 768, 512, 24
+
+
+def _classify(name: str) -> str:
+    n = name.lower()
+    if "attn" in n or "flash" in n or "temporal" in n:
+        return "pallas_attention"
+    if "convolution" in n or n.startswith("conv") or "cudnn" in n:
+        return "convolution"
+    if "copy" in n or "transpose" in n or "bitcast" in n:
+        return "copy"
+    if "reduce" in n:
+        return "reduce_fusion"
+    if "fusion" in n or "multiply" in n or "add" in n or "loop" in n:
+        return "elementwise_fusion"
+    if "dot" in n or "gemm" in n or "matmul" in n:
+        return "matmul"
+    if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n:
+        return "data_movement"
+    return "other"
+
+
+def _device_op_budget(logdir: str):
+    """Parse the xplane/chrome trace into {class: seconds} + top ops."""
+    files = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device tracks: process metadata names like "/device:TPU:0" or "TPU ...";
+    # keep pids whose name mentions TPU/device and are not host threads
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = e.get("args", {}).get("name", "")
+            if re.search(r"tpu|device", pname, re.I) and "host" not in pname.lower():
+                dev_pids.add(e.get("pid"))
+    per_op = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        # skip trace-framework rows (steps, run_ids)
+        if name.startswith(("Steps", "XLA Modules", "program")):
+            continue
+        per_op[name] = per_op.get(name, 0.0) + e.get("dur", 0.0) / 1e6
+    budget = {}
+    for name, sec in per_op.items():
+        cls = _classify(name)
+        budget[cls] = budget.get(cls, 0.0) + sec
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:25]
+    return budget, top, sum(per_op.values())
+
+
+def _run_traced(tag: str, fn, *args, iters: int = 3):
+    out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    logdir = tempfile.mkdtemp(prefix=f"hvt_trace_{tag}_")
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            out = fn(*args)
+            # forced fetch: drains the device queue (axon ack quirk, PERF.md)
+            float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
+    budget, top, total = _device_op_budget(logdir)
+    shutil.rmtree(logdir, ignore_errors=True)
+    per_iter = {k: round(v / iters, 4) for k, v in
+                sorted(budget.items(), key=lambda kv: -kv[1])}
+    print(f"# --- {tag}: top device ops (total {total:.3f}s / {iters} iters) ---",
+          file=sys.stderr)
+    for name, sec in top:
+        print(f"#   {sec / iters:8.4f}s  {name[:110]}", file=sys.stderr)
+    print(json.dumps({"trace": tag, "iters": iters,
+                      "device_total_s": round(total / iters, 4),
+                      "budget_s": per_iter}), flush=True)
+
+
+def main():
+    from humanvid_tpu.ops.attention import set_default_attention_backend
+    from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
+    from humanvid_tpu.utils.transfer import packed_device_put
+
+    set_default_attention_backend("auto")
+    which = sys.argv[1:] or ["unet"]
+
+    system = CamAnimate(CamAnimateConfig(), dtype=jnp.bfloat16)
+    params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
+                                abstract=True)
+    keep = {"denoising_unet", "reference_unet"}
+    if "vae" in which:
+        keep.add("vae_decoder")
+    params = jax.block_until_ready(
+        packed_device_put({k: params[k] for k in keep}))
+
+    h8, w8 = H // 8, W // 8
+    rng = np.random.default_rng(0)
+
+    if "unet" in which:
+        latents = jnp.asarray(rng.normal(size=(F, h8, w8, 4)), jnp.bfloat16)
+        t = jnp.full((1,), 500.0, jnp.bfloat16)
+        ctx = jnp.asarray(rng.normal(size=(1, 1, 768)), jnp.bfloat16)
+        ref_lat = jnp.asarray(rng.normal(size=(1, h8, w8, 4)), jnp.bfloat16)
+        cond = jnp.asarray(rng.normal(size=(F, h8, w8, 320)), jnp.bfloat16)
+
+        def ref_feats(params, ref_lat, ctx):
+            _, feats = system.reference_unet.apply(
+                params["reference_unet"], ref_lat,
+                jnp.zeros((1,), jnp.float32), ctx, collect_ref_features=True)
+            return feats
+
+        feats = jax.jit(ref_feats)(params, ref_lat, ctx)
+        jax.tree.map(lambda x: x.block_until_ready(), feats)
+
+        def unet_pass(params, latents, t, ctx, cond, feats):
+            eps, _ = system.denoising_unet.apply(
+                params["denoising_unet"], latents, t, ctx,
+                cond_fea=cond, ref_features=feats, frames=F)
+            return eps
+
+        _run_traced("unet_pass_24f_96x64", jax.jit(unet_pass),
+                    params, latents, t, ctx, cond, feats)
+
+    if "vae" in which:
+        lat = jnp.asarray(rng.normal(size=(F, h8, w8, 4)), jnp.bfloat16)
+        chunk = int(os.environ.get("HVT_TRACE_DECODE_CHUNK", "8"))
+
+        def decode(p, lat):
+            def one(z):
+                return system.vae_decoder.apply(p["vae_decoder"], z)
+            return jax.lax.map(one, lat.reshape(F // chunk, chunk, h8, w8, 4))
+
+        _run_traced(f"vae_decode_24f_chunk{chunk}", jax.jit(decode),
+                    params, lat)
+
+
+if __name__ == "__main__":
+    main()
