@@ -8,7 +8,12 @@ activations.  The Pallas temporal kernel stores only q/k/v (one-pass
 recompute backward), so this tool is the pass/fail gate for "stage-2 fits a
 single chip".
 
-Usage:  python tools/stage2_memcheck.py [H W F]   (defaults 896 512 24)
+Usage:  python tools/stage2_memcheck.py [H W F] [exec]   (defaults 896 512 24)
+
+With ``exec``, the tool additionally materializes a real TrainState on the
+chip and runs 1 warmup + HVT_EXEC_STEPS (default 3) timed train steps — the
+measured step time is the proof that the AOT "fits" verdict survives real
+allocator behavior (fragmentation, donation) on the device.
 """
 
 import os
@@ -28,9 +33,13 @@ import numpy as np
 
 
 def main():
-    H = int(sys.argv[1]) if len(sys.argv) > 1 else 896
-    W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    F = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    argv = [a for a in sys.argv[1:]]
+    do_exec = "exec" in argv
+    if do_exec:
+        argv.remove("exec")
+    H = int(argv[0]) if len(argv) > 0 else 896
+    W = int(argv[1]) if len(argv) > 1 else 512
+    F = int(argv[2]) if len(argv) > 2 else 24
 
     from humanvid_tpu.ops.attention import set_default_attention_backend
     from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
@@ -98,6 +107,48 @@ def main():
     }
     rec["fits"] = rec["peak_gb"] - rec["alias_gb"] <= rec["hbm_gb"]
     print(json.dumps(rec), flush=True)
+
+    if not do_exec:
+        return
+
+    # --- real-step execution: prove the AOT verdict on the live allocator ---
+    import time
+
+    from humanvid_tpu.utils.transfer import packed_device_put
+
+    rng_np = np.random.default_rng(0)
+    host_batch = {
+        "tgt": rng_np.uniform(-1, 1, (1, F, H, W, 3)).astype(np.float32),
+        "ref": rng_np.uniform(-1, 1, (1, H, W, 3)).astype(np.float32),
+        "clip": rng_np.uniform(-1, 1, (1, sz, sz, 3)).astype(np.float32),
+        "pose": rng_np.uniform(0, 1, (1, F, H, W, 3)).astype(np.float32),
+        "plucker": rng_np.uniform(-1, 1, (1, F, H, W, 6)).astype(np.float32),
+    }
+    dev = jax.block_until_ready(
+        packed_device_put({"t": trainable, "f": frozen, "b": host_batch}))
+    opt_state = jax.block_until_ready(jax.jit(tx.init)(dev["t"]))
+    from humanvid_tpu.train import TrainState as TS
+    live = TS(step=jnp.zeros((), jnp.int32), params=dev["t"],
+              frozen=dev["f"], opt_state=opt_state, tx=tx)
+    key = jax.device_put(jax.random.PRNGKey(0))
+
+    n_steps = int(os.environ.get("HVT_EXEC_STEPS", "3"))
+    dts, losses = [], []
+    for i in range(n_steps + 1):  # step 0 = warmup/first launch
+        t0 = time.time()
+        live, aux = compiled(live, dev["b"], key)
+        loss = float(aux["loss"])  # forced fetch: drains the device queue
+        dts.append(time.time() - t0)
+        losses.append(loss)
+    assert all(np.isfinite(losses)), losses
+    import statistics
+    print(json.dumps({
+        "metric": "stage2_train_step_seconds",
+        "value": round(statistics.median(dts[1:]), 3),
+        "unit": "s/step",
+        "spread_s": [round(min(dts[1:]), 2), round(max(dts[1:]), 2)],
+        "loss0": round(losses[0], 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":
