@@ -74,8 +74,11 @@ def _device_op_budget(logdir: str):
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
-        # skip trace-framework rows (steps, run_ids)
-        if name.startswith(("Steps", "XLA Modules", "program")):
+        # skip trace-framework rows (steps, run_ids) and whole-program /
+        # control-structure rows (jit_<fn>, while.N) whose durations span the
+        # leaf ops and would double-count the budget
+        if name.startswith(("Steps", "XLA Modules", "program", "jit_",
+                            "while")):
             continue
         per_op[name] = per_op.get(name, 0.0) + e.get("dur", 0.0) / 1e6
     budget = {}
