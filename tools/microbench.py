@@ -217,8 +217,79 @@ def probe_vae():
             print(f"# vae profile written to {d}", file=sys.stderr, flush=True)
 
 
+def probe_dmajor():
+    """Does a d=40 contraction on SUBLANES (d-major layout) beat the lane
+    layout? The flash kernel's QK/PV matmuls contract (QK) or emit (PV) the
+    40-wide head dim on the 128-lane axis — a 3.2x pad. If Mosaic runs the
+    d-major formulation at full MXU rate, a d-major kernel rewrite raises
+    the attention ceiling ~3x. Pure-Pallas probe: one dot per grid step, the
+    logits stay in VMEM (only a 128-wide slice is written out, so HBM traffic
+    cannot hide the MXU difference)."""
+    from jax.experimental import pallas as pl
+
+    G, lq, lk, d = 64, 1024, 2048, 40
+    rng = np.random.default_rng(0)
+    flops_qk = 2 * G * lq * lk * d
+    flops_pv = 2 * G * lq * lk * d
+
+    def run(tag, kernel, shapes, out_shape, flops, n=300):
+        ins = [jnp.asarray(rng.normal(size=(G,) + s), jnp.bfloat16)
+               for s in shapes]
+        call = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[pl.BlockSpec((1,) + s, lambda i: (i, 0, 0))
+                      for s in shapes],
+            out_specs=pl.BlockSpec((1,) + out_shape, lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((G,) + out_shape, jnp.bfloat16),
+        )
+
+        def op(a, b_):
+            out = call(a, b_)
+            # data dependency a <- out so the scan can't be parallelized or
+            # DCE'd, without changing a's value (the pred is always true)
+            s0 = out[0, 0, 0].astype(jnp.float32)
+            return jnp.where(s0 == s0, a, jnp.zeros_like(a))
+
+        fn, n = _chain(op, n)
+        sec, dts = _time(jax.jit(fn), *ins)
+        sec /= n
+        _emit(f"dmajor_{tag}", sec, dts, tflops=round(flops / sec / 1e12, 2))
+
+    def qk_lanes(qr, kr, or_):
+        s = jax.lax.dot_general(qr[0], kr[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        or_[0] = s[:, :128].astype(jnp.bfloat16)
+
+    def qk_sublanes(qr, kr, or_):
+        s = jax.lax.dot_general(qr[0], kr[0], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        or_[0] = s[:, :128].astype(jnp.bfloat16)
+
+    def pv_lanes(pr, vr, or_):
+        o = jax.lax.dot_general(pr[0], vr[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        or_[0] = jnp.pad(o, ((0, 0), (0, 128 - d))).astype(jnp.bfloat16)
+
+    def pv_dmajor(vr, pr, or_):
+        # V [d, lk] x P [lq, lk] contracting lk -> out [d, lq]: no 40-pad
+        o = jax.lax.dot_general(vr[0], pr[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        or_[0] = o[:, :1024].astype(jnp.bfloat16)
+
+    run("qk_d_on_lanes", qk_lanes, ((lq, d), (lk, d)), (lq, 128), flops_qk)
+    run("qk_d_on_sublanes", qk_sublanes, ((d, lq), (d, lk)), (lq, 128),
+        flops_qk)
+    run("pv_d_on_lanes", pv_lanes, ((lq, lk), (lk, d)), (lq, 128), flops_pv)
+    run("pv_dmajor_out", pv_dmajor, ((d, lk), (lq, lk)), (d, lq), flops_pv)
+    # control: the same QK at d=128 (no padding either way) = MXU ceiling
+    run("qk_d128_lanes", qk_lanes, ((lq, 128), (lk, 128)), (lq, 128),
+        2 * G * lq * lk * 128)
+
+
 PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
-          "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae}
+          "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
+          "dmajor": probe_dmajor}
 
 
 if __name__ == "__main__":
