@@ -18,11 +18,14 @@ lane slicing efficiently), so no head split/merge transpose exists anywhere
 in the program, in either direction of either pass.
 
 Structure per kernel step (grid (B, q_blocks, kv_blocks), kv sequential):
-one python-unrolled loop over heads; per head one MXU contraction
-q_h k_h^T -> fp32 logits in VMEM, online softmax in the log2 domain (the
-TPU's transcendental unit evaluates exp2 natively; scale * log2(e) is folded
-into q once outside the kernel), one PV contraction into a per-head fp32
-VMEM accumulator. The additive per-key bias (the CFG reference-KV disable)
+one python-unrolled, software-pipelined loop over heads (head h+1's QK
+contraction is issued before head h's softmax so MXU and VPU overlap); per
+head one MXU contraction q_h k_h^T -> fp32 logits in VMEM, online softmax in
+the log2 domain (the TPU's transcendental unit evaluates exp2 natively;
+scale * log2(e) is folded into q once outside the kernel), one PV
+contraction into a per-head fp32 VMEM accumulator whose last column is the
+softmax denominator (v is pre-augmented with a per-head ones column, so the
+rowsum rides the same MXU op instead of a separate VPU reduction). The additive per-key bias (the CFG reference-KV disable)
 rides as a (B, Lk) fp32 row, pre-multiplied by log2(e), fused into the same
 VPU pass that subtracts the running max.
 
@@ -49,9 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 # makes that explicit):
 #   HVT_FLASH_BQ / HVT_FLASH_BKV — default q/kv block sizes; measured on v5e
 #   at the SD1.5 level-0 shape (bh=192, 6144x12288, d=40) with chained
-#   (fetch-free) timing: (1024, 2048) = 42.1 TF/s = 69% of the d=40
-#   architectural ceiling, vs 37.3 at (512, 1024) and 39.9 for the full-Lk
-#   single-shot configuration (bq=256, bkv=12288).
+#   (fetch-free) timing, r3 fused-rowsum + pipelined-head kernel:
+#   (1024, 1024) = 49.5 TF/s (vs 42.1 for the r2 kernel at its best blocks),
+#   (512, 1024) = 49.3, (1024, 2048) = 40.4 (two live fp32 logits buffers
+#   overrun the sweet spot), (2048, 1024) = 41.6, (1024, 512) = 33.7,
+#   (256, 12288) single-shot = 39.6.
 #   HVT_FLASH_BWD — "kernel" (fused Pallas backward) or "chunked" (recompute
 #   + scanned XLA einsum fallback).
 #   HVT_FLASH_VMEM — scoped-vmem budget for the kernels (the per-head loop
@@ -61,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 #   compile at the SD level-0 shapes), so the budget is 96 MB of the v5e's
 #   128 MB physical VMEM; 64 MB fails to compile.
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
-_DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "2048"))
+_DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
 _VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(96 * 1024 * 1024)))
 
@@ -80,17 +85,23 @@ def _compiler_params():
 def _fwd_kernel(q_ref, k_ref, v_ref, *rest, heads: int, has_bias: bool):
     """Blocks: q (1, bq, C) PRE-SCALED by scale*log2e, k/v (1, bkv, C),
     optional bias (1, 1, bkv) fp32 pre-multiplied by log2e. Scratch: per-head
-    fp32 acc (bq, d), m (bq, 1), l (bq, 1). ``has_bias=False`` compiles the
-    common no-mask path (pure self-attention; cond rows in sequential CFG)
-    without the per-head (bq, bkv) VPU broadcast-add."""
+    fp32 acc (bq, d+1), m (bq, 1). ``has_bias=False`` compiles the common
+    no-mask path (pure self-attention; cond rows in sequential CFG) without
+    the per-head (bq, bkv) VPU broadcast-add.
+
+    The softmax denominator is NOT a separate VPU reduction: the caller
+    augments every head's v slice with a ones column (``_augment_v``, one XLA
+    pass per call instead of one concat per grid step), so the PV contraction
+    emits ``[p@v, sum(p)]`` in one MXU op — the extra column rides in output
+    lanes the 40->128 lane pad wastes anyway, and the l rescale is the same
+    acc rescale. This removes a full (bq, bkv) VPU pass per head per step."""
     if has_bias:
         bias_ref, o_ref, lse_ref, *scratch = rest
     else:
         o_ref, lse_ref, *scratch = rest
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
-    accs, ms, ls = (scratch[:heads], scratch[heads:2 * heads],
-                    scratch[2 * heads:])
+    accs, ms = scratch[:heads], scratch[heads:]
     c = q_ref.shape[-1]
     d = c // heads
 
@@ -99,12 +110,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, heads: int, has_bias: bool):
         for h in range(heads):
             accs[h][:] = jnp.zeros_like(accs[h])
             ms[h][:] = jnp.full_like(ms[h], -jnp.inf)
-            ls[h][:] = jnp.zeros_like(ls[h])
 
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0]
-    for h in range(heads):
+    v = v_ref[0]  # (bkv, heads*(d+1)) — pre-augmented, column d of each
+    # head slice is ones (see _augment_v)
+
+    def qk(h):
         sl = slice(h * d, (h + 1) * d)
         # MXU: operands stay in their storage dtype (bf16 runs at full
         # systolic rate); fp32 accumulation via preferred_element_type.
@@ -114,26 +126,46 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, heads: int, has_bias: bool):
         )  # (bq, bkv), log2 domain
         if has_bias:
             logits = logits + bias_ref[0, 0][None, :]
-        m_prev, l_prev = ms[h][:], ls[h][:]
+        return logits
+
+    # Software-pipelined head loop: head h+1's QK contraction is issued
+    # BEFORE head h's softmax so the MXU (next QK, this PV) and the VPU
+    # (this softmax) overlap — the serial form measured as the plain sum
+    # MXU+VPU (53 ms at the level-0 ref-KV shape), i.e. zero overlap.
+    logits = qk(0)
+    for h in range(heads):
+        nxt = qk(h + 1) if h + 1 < heads else None
+        m_prev = ms[h][:]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(logits - m_new)
-        ls[h][:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         ms[h][:] = m_new
         accs[h][:] = accs[h][:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v[:, h * (d + 1):(h + 1) * (d + 1)],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (bq, d+1): [p @ v_h, rowsum(p)]
+        logits = nxt
 
     @pl.when(j == num_kv - 1)
     def _():
         o_ref[0] = jnp.concatenate(
-            [(accs[h][:] / ls[h][:]).astype(o_ref.dtype)
+            [(accs[h][:, :d] / accs[h][:, d:]).astype(o_ref.dtype)
              for h in range(heads)], axis=-1)
         lse_ref[0] = jnp.stack(
-            [(ms[h][:] + jnp.log2(ls[h][:]))[:, 0] for h in range(heads)],
+            [(ms[h][:] + jnp.log2(accs[h][:, d:]))[:, 0] for h in range(heads)],
             axis=0)  # (heads, bq), log2 units
+
+
+def _augment_v(v, heads):
+    """(B, Lk, heads*d) -> (B, Lk, heads*(d+1)) with a ones column appended
+    to every head slice — the PV contraction's denominator column."""
+    b, lk, c = v.shape
+    d = c // heads
+    v4 = v.reshape(b, lk, heads, d)
+    ones = jnp.ones((b, lk, heads, 1), v.dtype)
+    return jnp.concatenate([v4, ones], axis=-1).reshape(b, lk, heads * (d + 1))
 
 
 def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
@@ -153,6 +185,8 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_kv)
     qs = (q * q.dtype.type(scale * LOG2E)).astype(q.dtype)
+    v = _augment_v(v, heads)
+    c_v = heads * (d + 1)
     if lq_pad != lq:
         qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
     if key_bias is None and lk_pad != lk:
@@ -168,7 +202,7 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
     in_specs = [
         pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_kv, c_v), lambda b, i, j: (b, j, 0)),
     ]
     if has_bias:
         inputs.append((key_bias * LOG2E).astype(jnp.float32)[:, None, :])
@@ -189,8 +223,8 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
             jax.ShapeDtypeStruct((b, heads, lq_pad), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((block_q, d), jnp.float32)] * heads
-            + [pltpu.VMEM((block_q, 1), jnp.float32)] * (2 * heads)
+            [pltpu.VMEM((block_q, d + 1), jnp.float32)] * heads
+            + [pltpu.VMEM((block_q, 1), jnp.float32)] * heads
         ),
         compiler_params=_compiler_params(),
     )(*inputs)

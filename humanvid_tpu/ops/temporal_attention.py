@@ -89,17 +89,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
     dtype = q.dtype
     d = c // heads
     mask = _block_mask(n, bl)
-    outs = []
-    for h in range(heads):
+
+    def qk(h):
         sl = slice(h * d, (h + 1) * d)
         qh = q[:, sl] * dtype.type(scale * LOG2E)
-        logits = jax.lax.dot_general(
+        return jax.lax.dot_general(
             qh, k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (n, n), log2 domain
+
+    # Software-pipelined head loop (same rationale as the flash kernel):
+    # head h+1's QK contraction is issued before head h's softmax so the
+    # MXU and VPU streams overlap.
+    outs = []
+    logits = qk(0)
+    for h in range(heads):
+        nxt = qk(h + 1) if h + 1 < heads else None
+        sl = slice(h * d, (h + 1) * d)
         p = _masked_softmax(logits, mask)
         outs.append(jax.lax.dot_general(
             p.astype(dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype))
+        logits = nxt
     o_ref[0] = jnp.concatenate(outs, axis=-1).reshape(f, bl, c)
 
 

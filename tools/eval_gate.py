@@ -1,0 +1,126 @@
+"""Quality-gate run at PROTOCOL shape (VERDICT r2 item 5).
+
+Round 2's EVAL_GATE proved the harness at 32x48; this tool runs the same
+gate at the reference's evaluation op-point — vertical 512x768, 24-frame
+clips (reference ``scripts/eval_pose2vid.py:242-261`` protocol, stride 3,
+middle-frame reference) over >= 4 clips — so the metric stack (FVD's
+224-crop path, FID's 2048-d pooling, LPIPS at full frame size, the runner's
+pairing/memory behavior) is exercised where it will actually run: on the
+TPU at real sizes.  Metric nets use RANDOM weights with the real key
+inventories (``tools/make_random_metric_weights.py``) — values are
+meaningless by design; zero skipped metrics is the assertion.
+
+Usage (on the axon TPU):  python tools/eval_gate.py [--clips 4] [--steps 2]
+Writes EVAL_GATE_r03.json at the repo root with per-phase wall time.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def stage_data(root: str, clips: int, frames: int):
+    """Synthetic vertical gt/dwpose video pairs + meta at protocol length."""
+    import numpy as np
+
+    from humanvid_tpu.data.video_io import save_video
+
+    os.makedirs(os.path.join(root, "videos"), exist_ok=True)
+    os.makedirs(os.path.join(root, "dwpose"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    meta = []
+    # smooth low-frequency content so the codec round-trip and the metric
+    # preprocessing see video-like inputs, not white noise
+    for i in range(clips):
+        base = rng.random((4, 24, 16, 3)).astype(np.float32)
+        frames_arr = np.stack([
+            np.clip(np.kron(base[j % 4] * (0.5 + 0.5 * np.sin(j / 5 + i)),
+                            np.ones((32, 32, 1))), 0, 1)
+            for j in range(frames)
+        ])  # (frames, 768, 512, 3)
+        vp = os.path.join(root, "videos", f"clip{i}.mp4")
+        kp = os.path.join(root, "dwpose", f"clip{i}.mp4")
+        save_video(frames_arr, vp, fps=8.0)
+        save_video(frames_arr[:, ::-1], kp, fps=8.0)
+        meta.append({"video_path": vp, "kps_path": kp,
+                     "start_frame": 0, "end_frame": frames})
+    meta_path = os.path.join(root, "test_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta_path
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--clips", type=int, default=4)
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--out", default=os.path.join(REPO, "EVAL_GATE_r03.json"))
+    args = p.parse_args()
+
+    work = tempfile.mkdtemp(prefix="eval_gate_")
+    timings = {}
+
+    t0 = time.time()
+    weights_dir = os.path.join(work, "metric_weights")
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools", "make_random_metric_weights.py"),
+                    weights_dir], check=True)
+    timings["make_metric_weights_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    meta_path = stage_data(work, args.clips, frames=72)  # stride 3 x 24f
+    timings["stage_data_s"] = round(time.time() - t0, 1)
+
+    cfg_path = os.path.join(work, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write("model: tiny\n")
+    out_dir = os.path.join(work, "eval_out")
+
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "eval_pose2vid.py"),
+           "--config", cfg_path, "--test_meta", meta_path,
+           "-W", "512", "-H", "768", "-L", "24", "--stride", "3",
+           "--steps", str(args.steps), "--output_dir", out_dir,
+           "--run_metrics", "--metric_weights", weights_dir]
+    t0 = time.time()
+    subprocess.run(cmd, check=True)
+    timings["generate_and_metrics_s"] = round(time.time() - t0, 1)
+
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    summary = metrics.get("summary", metrics)
+    expected = ("ssim", "psnr", "l1", "lpips", "fid", "fvd", "clip_sim")
+    skipped = [m for m in expected
+               if m not in summary or summary[m] != summary[m]]
+    rec = {
+        "note": "Protocol-shape quality gate (VERDICT r2 item 5): vertical "
+                "512x768, 24-frame stride-3 clips, tiny generator, RANDOM "
+                "metric weights with real key inventories — values are "
+                "meaningless by design, zero skipped metrics at protocol "
+                "resolution is the assertion.",
+        "command": " ".join(cmd),
+        "clips": args.clips,
+        "resolution": "512x768x24f",
+        "device": None,
+        "metrics": summary,
+        "skipped_metrics": skipped,
+        "timings_s": timings,
+    }
+    import jax
+    rec["device"] = str(jax.devices()[0])
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps({k: rec[k] for k in
+                      ("resolution", "clips", "skipped_metrics",
+                       "timings_s")}))
+    assert not skipped, f"skipped metrics at protocol shape: {skipped}"
+
+
+if __name__ == "__main__":
+    main()

@@ -287,9 +287,103 @@ def probe_dmajor():
         2 * G * lq * lk * 128)
 
 
+def probe_conv():
+    """XLA conv throughput at the dominant UNet/VAE 3x3 shapes (bf16 NHWC)
+    vs a 9-shift matmul formulation (sum over taps of shifted-x @ W[dy,dx]).
+
+    The r3 trace put UNet convs at ~46 TF/s effective — half the MXU rate the
+    channel counts should allow. If the shift-matmul form is faster, XLA's
+    conv emitter (not the shapes) is the bottleneck and the resnet convs can
+    be reformulated; if both are equal, the convs are bandwidth/shape-bound
+    and the budget line is already at its ceiling."""
+    shapes = [  # (tag, n, h, w, cin, cout)
+        ("unet_l0", 24, 96, 64, 320, 320),
+        ("unet_l0_upcat", 24, 96, 64, 640, 320),
+        ("unet_l1", 24, 48, 32, 640, 640),
+        ("unet_l2", 24, 24, 16, 1280, 1280),
+        ("unet_l3", 24, 12, 8, 1280, 1280),
+        ("vae_hi", 8, 768, 512, 128, 128),
+        ("vae_mid", 8, 384, 256, 256, 256),
+        ("vae_lo", 8, 192, 128, 512, 512),
+    ]
+    rng = np.random.default_rng(0)
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def shiftmm(x, w):
+        n, h, ww, ci = x.shape
+        co = w.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((n, h, ww, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                xs = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, ww, ci))
+                acc = acc + jax.lax.dot_general(
+                    xs.reshape(n * h * ww, ci), w[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).reshape(n, h, ww, co)
+        return acc.astype(x.dtype)
+
+    for tag, n, h, w_, ci, co in shapes:
+        x = jnp.asarray(rng.normal(size=(n, h, w_, ci)), jnp.bfloat16)
+        wt = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.02, jnp.bfloat16)
+        flops = 2 * 9 * n * h * w_ * ci * co
+        extra = ()
+        if ci != co:  # chain needs an x-like carry: time a round-trip pair
+            extra = (jnp.asarray(rng.normal(size=(3, 3, co, ci)) * 0.02,
+                                 jnp.bfloat16),)
+            flops = 2 * flops
+        for form, op in (("conv", conv), ("shiftmm", shiftmm)):
+            if form == "shiftmm" and ci != co:
+                continue
+            if ci != co:
+                def op(xc, wc, w2, _op=op):  # noqa: PLW2901
+                    return _op(_op(xc, wc), w2)
+            fn, nn_ = _chain(lambda xc, *ws, _op=op: _op(xc, *ws),
+                             10 if n * h * w_ * ci > 2**24 else 40)
+            try:
+                sec, dts = _time(jax.jit(fn), x, wt, *extra)
+            except Exception as e:  # noqa: BLE001
+                print(f"# conv {tag} {form} failed: {str(e).splitlines()[0][:150]}",
+                      file=sys.stderr, flush=True)
+                continue
+            sec /= nn_
+            _emit(f"conv_{tag}_{form}", sec, dts,
+                  tflops=round(flops / sec / 1e12, 2))
+
+
+def probe_gn():
+    """GroupNorm(32)+SiLU chain bandwidth at the VAE-decode resolutions —
+    the r3 trace's 51% 'elementwise' share of the decode. Reports effective
+    HBM GB/s assuming the minimum 2-read+1-write traffic."""
+    from flax import linen as nn_
+
+    rng = np.random.default_rng(0)
+    for tag, n, h, w_, c in (("vae_hi", 8, 768, 512, 128),
+                             ("vae_mid", 8, 384, 256, 256),
+                             ("vae_l0", 24, 96, 64, 320)):
+        x = jnp.asarray(rng.normal(size=(n, h, w_, c)), jnp.bfloat16)
+        mod = nn_.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def op(xc, p):
+            return nn_.silu(mod.apply(p, xc))
+
+        fn, nch = _chain(op, 40)
+        sec, dts = _time(jax.jit(fn), x, params)
+        sec /= nch
+        gbs = 3 * x.size * 2 / sec / 1e9
+        _emit(f"gn_silu_{tag}", sec, dts, hbm_gbs=round(gbs, 1))
+
+
 PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
           "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
-          "dmajor": probe_dmajor}
+          "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn}
 
 
 if __name__ == "__main__":

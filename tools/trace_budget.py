@@ -37,12 +37,14 @@ def _classify(name: str) -> str:
     n = name.lower()
     if "attn" in n or "flash" in n or "temporal" in n:
         return "pallas_attention"
+    # "reduce" must be tested before the conv prefix: XLA names GroupNorm
+    # stats fusions "convert_reduce_fusion.*", which starts with "conv"
+    if "reduce" in n:
+        return "reduce_fusion"
     if "convolution" in n or n.startswith("conv") or "cudnn" in n:
         return "convolution"
     if "copy" in n or "transpose" in n or "bitcast" in n:
         return "copy"
-    if "reduce" in n:
-        return "reduce_fusion"
     if "fusion" in n or "multiply" in n or "add" in n or "loop" in n:
         return "elementwise_fusion"
     if "dot" in n or "gemm" in n or "matmul" in n:
@@ -50,6 +52,9 @@ def _classify(name: str) -> str:
     if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n:
         return "data_movement"
     return "other"
+
+
+_OP_META = {}
 
 
 def _device_op_budget(logdir: str):
@@ -81,6 +86,10 @@ def _device_op_budget(logdir: str):
                             "while")):
             continue
         per_op[name] = per_op.get(name, 0.0) + e.get("dur", 0.0) / 1e6
+        # keep one metadata blob per op so top entries are identifiable
+        # (the xplane->chrome conversion stores the HLO long_name/source here)
+        if name not in _OP_META and e.get("args"):
+            _OP_META[name] = e["args"]
     budget = {}
     for name, sec in per_op.items():
         cls = _classify(name)
@@ -105,7 +114,11 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
     print(f"# --- {tag}: top device ops (total {total:.3f}s / {iters} iters) ---",
           file=sys.stderr)
     for name, sec in top:
-        print(f"#   {sec / iters:8.4f}s  {name[:110]}", file=sys.stderr)
+        meta = _OP_META.get(name, {})
+        detail = str(meta.get("long_name") or meta.get("hlo_op") or
+                     meta.get("tf_op") or "")[:160]
+        print(f"#   {sec / iters:8.4f}s  {name[:110]}  {detail}",
+              file=sys.stderr)
     print(json.dumps({"trace": tag, "iters": iters,
                       "device_total_s": round(total / iters, 4),
                       "budget_s": per_iter}), flush=True)
