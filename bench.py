@@ -37,6 +37,10 @@ H, W, F = 768, 512, 24
 STEPS = int(os.environ.get("HVT_BENCH_STEPS", "30"))  # dev override; canonical 30
 GUIDANCE = 3.5
 A100_BASELINE_FPS = 0.15  # documented estimate; see module docstring
+# the estimate's sensitivity band (BASELINE.md): 0.13 f/s optimistic-for-us,
+# 0.40 f/s pessimistic-for-us. vs_baseline_range carries both bounds so the
+# central multiplier is never mistaken for a measured one.
+A100_BASELINE_FPS_BOUNDS = (0.13, 0.40)
 
 
 def main():
@@ -125,6 +129,11 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+        # [pessimistic, optimistic] multiplier vs the estimate's bounds
+        "vs_baseline_range": [
+            round(fps / A100_BASELINE_FPS_BOUNDS[1], 3),
+            round(fps / A100_BASELINE_FPS_BOUNDS[0], 3),
+        ],
     }), flush=True)
     # full-buffer fetch (no slicing: a slice would launch a new executable)
     video = np.asarray(out.videos, np.float32)

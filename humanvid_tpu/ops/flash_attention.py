@@ -60,11 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 #   HVT_FLASH_BWD — "kernel" (fused Pallas backward) or "chunked" (recompute
 #   + scanned XLA einsum fallback).
 #   HVT_FLASH_VMEM — scoped-vmem budget for the kernels (the per-head loop
-#   keeps fp32 (block_q, block_kv) intermediates live; XLA's default 16 MB
-#   scope is too tight for the tuned blocks). The packed kernel's unrolled
-#   head loop stacks ~69 MB at (1024, 2048) with C=320 (measured by AOT
-#   compile at the SD level-0 shapes), so the budget is 96 MB of the v5e's
-#   128 MB physical VMEM; 64 MB fails to compile.
+#   keeps fp32 (block_q, block_kv) intermediates live, and the r3 pipelined
+#   head loop holds TWO logits blocks at once; XLA's default 16 MB scope is
+#   too tight for the tuned blocks). At the r3 default (1024, 1024) with
+#   C=320 the r2-era AOT measurement scales to ~43 MB of stacked
+#   intermediates; the budget stays 96 MB of the v5e's 128 MB physical VMEM
+#   so larger experimental blocks still compile ((1024, 2048) needs ~78 MB
+#   with the double-buffered logits).
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")

@@ -96,8 +96,10 @@ def main():
         metrics = json.load(f)
     summary = metrics.get("summary", metrics)
     expected = ("ssim", "psnr", "l1", "lpips", "fid", "fvd", "clip_sim")
+    # flag missing keys, non-numeric values (e.g. a JSON null), and NaN
     skipped = [m for m in expected
-               if m not in summary or summary[m] != summary[m]]
+               if not isinstance(summary.get(m), (int, float))
+               or summary[m] != summary[m]]
     rec = {
         "note": "Protocol-shape quality gate (VERDICT r2 item 5): vertical "
                 "512x768, 24-frame stride-3 clips, tiny generator, RANDOM "

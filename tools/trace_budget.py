@@ -37,10 +37,19 @@ def _classify(name: str) -> str:
     n = name.lower()
     if "attn" in n or "flash" in n or "temporal" in n:
         return "pallas_attention"
+    # collectives before the generic "reduce" test: multichip traces emit
+    # all-reduce / reduce-scatter rows that are communication, not GN stats
+    if "all-reduce" in n or "all-gather" in n or "reduce-scatter" in n \
+            or "collective" in n or "ppermute" in n:
+        return "collective"
     # "reduce" must be tested before the conv prefix: XLA names GroupNorm
     # stats fusions "convert_reduce_fusion.*", which starts with "conv"
     if "reduce" in n:
         return "reduce_fusion"
+    # "convert[_fusion]" rows are elementwise dtype casts, not convolutions —
+    # they start with "conv" and previously inflated the convolution bucket
+    if "convert" in n and "convolution" not in n:
+        return "elementwise_fusion"
     if "convolution" in n or n.startswith("conv") or "cudnn" in n:
         return "convolution"
     if "copy" in n or "transpose" in n or "bitcast" in n:
@@ -75,15 +84,19 @@ def _device_op_budget(logdir: str):
             if re.search(r"tpu|device", pname, re.I) and "host" not in pname.lower():
                 dev_pids.add(e.get("pid"))
     per_op = {}
+    excluded_s = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
         # skip trace-framework rows (steps, run_ids) and whole-program /
         # control-structure rows (jit_<fn>, while.N) whose durations span the
-        # leaf ops and would double-count the budget
+        # leaf ops and would double-count the budget.  Their total is tracked
+        # and printed so any under-count (a trace emitting only span rows
+        # without body leaf ops) is visible rather than silent.
         if name.startswith(("Steps", "XLA Modules", "program", "jit_",
                             "while")):
+            excluded_s += e.get("dur", 0.0) / 1e6
             continue
         per_op[name] = per_op.get(name, 0.0) + e.get("dur", 0.0) / 1e6
         # keep one metadata blob per op so top entries are identifiable
@@ -95,7 +108,7 @@ def _device_op_budget(logdir: str):
         cls = _classify(name)
         budget[cls] = budget.get(cls, 0.0) + sec
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:25]
-    return budget, top, sum(per_op.values())
+    return budget, top, sum(per_op.values()), excluded_s
 
 
 def _run_traced(tag: str, fn, *args, iters: int = 3):
@@ -107,11 +120,12 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
             out = fn(*args)
             # forced fetch: drains the device queue (axon ack quirk, PERF.md)
             float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
-    budget, top, total = _device_op_budget(logdir)
+    budget, top, total, excluded = _device_op_budget(logdir)
     shutil.rmtree(logdir, ignore_errors=True)
     per_iter = {k: round(v / iters, 4) for k, v in
                 sorted(budget.items(), key=lambda kv: -kv[1])}
-    print(f"# --- {tag}: top device ops (total {total:.3f}s / {iters} iters) ---",
+    print(f"# --- {tag}: top device ops (total {total:.3f}s / {iters} iters; "
+          f"excluded span rows {excluded:.3f}s) ---",
           file=sys.stderr)
     for name, sec in top:
         meta = _OP_META.get(name, {})
@@ -121,6 +135,7 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
               file=sys.stderr)
     print(json.dumps({"trace": tag, "iters": iters,
                       "device_total_s": round(total / iters, 4),
+                      "excluded_span_s": round(excluded / iters, 4),
                       "budget_s": per_iter}), flush=True)
 
 
