@@ -9,11 +9,18 @@ recompute backward), so this tool is the pass/fail gate for "stage-2 fits a
 single chip".
 
 Usage:  python tools/stage2_memcheck.py [H W F] [exec]   (defaults 896 512 24)
+        python tools/stage2_memcheck.py stage1 [H W] [exec] (defaults 512 896)
 
 With ``exec``, the tool additionally materializes a real TrainState on the
 chip and runs 1 warmup + HVT_EXEC_STEPS (default 3) timed train steps — the
 measured step time is the proof that the AOT "fits" verdict survives real
 allocator behavior (fragmentation, donation) on the device.
+
+``stage1`` mirrors the reference stage-1 op-point (bs 8 images at one
+512x896 orientation bucket, NO gradient checkpointing — reference
+``configs/train/stage1.yaml:1-36``, gradient_checkpointing: False): no
+motion module, ReferenceNet+UNet+PoseGuider+camera-encoder trainable
+(``stage1_trainable``), fp32 masters + bf16 activations.
 """
 
 import os
@@ -37,30 +44,52 @@ def main():
     do_exec = "exec" in argv
     if do_exec:
         argv.remove("exec")
-    H = int(argv[0]) if len(argv) > 0 else 896
-    W = int(argv[1]) if len(argv) > 1 else 512
-    F = int(argv[2]) if len(argv) > 2 else 24
+    stage = 1 if "stage1" in argv else 2
+    if stage == 1:
+        argv.remove("stage1")
+        H = int(argv[0]) if len(argv) > 0 else 512
+        W = int(argv[1]) if len(argv) > 1 else 896
+        B, F = 8, 1
+    else:
+        H = int(argv[0]) if len(argv) > 0 else 896
+        W = int(argv[1]) if len(argv) > 1 else 512
+        F = int(argv[2]) if len(argv) > 2 else 24
+        B = 1
 
     from humanvid_tpu.ops.attention import set_default_attention_backend
     from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
     from humanvid_tpu.train import (
         OptimizerConfig, TrainConfig, TrainState, cast_untrainable,
-        make_optimizer, make_train_step, stage2_trainable)
+        make_optimizer, make_train_step, stage1_trainable, stage2_trainable)
 
     set_default_attention_backend("auto")
 
     import dataclasses
 
     cfg = CamAnimateConfig()
-    cfg = dataclasses.replace(
-        cfg,
-        denoising_unet=dataclasses.replace(
-            cfg.denoising_unet, gradient_checkpointing=True,
-            ff_chunk_tokens=1024),
-        camera_encoder=dataclasses.replace(
-            cfg.camera_encoder, ff_chunk_tokens=1024),
-    )
-    system = CamAnimate(cfg, dtype=jnp.bfloat16)
+    if stage == 2:
+        cfg = dataclasses.replace(
+            cfg,
+            denoising_unet=dataclasses.replace(
+                cfg.denoising_unet, gradient_checkpointing=True,
+                ff_chunk_tokens=1024),
+            camera_encoder=dataclasses.replace(
+                cfg.camera_encoder, ff_chunk_tokens=1024),
+        )
+    else:
+        # stage 1: image-level UNet (no motion module), NO grad ckpt —
+        # mirrors scripts/train_stage_1.py stage-1 construction and the
+        # reference's gradient_checkpointing: False
+        cfg = dataclasses.replace(
+            cfg,
+            denoising_unet=cfg.reference_unet,
+            camera_encoder=dataclasses.replace(
+                cfg.camera_encoder, position_encoding_max_len=16),
+        )
+    predicate = stage1_trainable if stage == 1 else stage2_trainable
+    # stage 1 keeps fp32 masters for everything trainable (script default)
+    system = CamAnimate(cfg, dtype=jnp.bfloat16,
+                        **({"param_dtype": jnp.float32} if stage == 1 else {}))
     all_params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
                                     abstract=True)
     frozen = {k: all_params[k] for k in ("vae_encoder", "vae_decoder", "clip")}
@@ -69,25 +98,25 @@ def main():
         for k in ("reference_unet", "denoising_unet", "pose_guider",
                   "camera_encoder")
     }
-    # mirror scripts/train_stage_1.py stage-2 bf16 setup: no fp32 masters for
+    # mirror scripts/train_stage_1.py bf16 setup: no fp32 masters for
     # stage-frozen leaves, bf16 Adam first moment
-    trainable = cast_untrainable(trainable, stage2_trainable)
-    tx = make_optimizer(trainable, stage2_trainable,
+    trainable = cast_untrainable(trainable, predicate)
+    tx = make_optimizer(trainable, predicate,
                         OptimizerConfig(mu_dtype="bfloat16"))
     state = jax.eval_shape(
         lambda t, f: TrainState.create(t, f, tx), trainable, frozen)
 
     sched = system.make_schedule(beta_schedule="scaled_linear")
     step = make_train_step(system, sched, TrainConfig(),
-                           trainable_predicate=stage2_trainable)
+                           trainable_predicate=predicate)
 
     sz = system.config.clip.image_size
     batch = {
-        "tgt": jax.ShapeDtypeStruct((1, F, H, W, 3), jnp.float32),
-        "ref": jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32),
-        "clip": jax.ShapeDtypeStruct((1, sz, sz, 3), jnp.float32),
-        "pose": jax.ShapeDtypeStruct((1, F, H, W, 3), jnp.float32),
-        "plucker": jax.ShapeDtypeStruct((1, F, H, W, 6), jnp.float32),
+        "tgt": jax.ShapeDtypeStruct((B, F, H, W, 3), jnp.float32),
+        "ref": jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32),
+        "clip": jax.ShapeDtypeStruct((B, sz, sz, 3), jnp.float32),
+        "pose": jax.ShapeDtypeStruct((B, F, H, W, 3), jnp.float32),
+        "plucker": jax.ShapeDtypeStruct((B, F, H, W, 6), jnp.float32),
     }
     rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
@@ -96,7 +125,8 @@ def main():
     ma = compiled.memory_analysis()
     gb = 1 << 30
     rec = {
-        "op_point": f"{H}x{W}x{F}f bs1 grad-ckpt bf16-masters",
+        "op_point": (f"{H}x{W}x{F}f bs1 grad-ckpt bf16-masters" if stage == 2
+                     else f"stage1 {H}x{W} bs{B} no-ckpt fp32-masters"),
         "argument_gb": round(ma.argument_size_in_bytes / gb, 3),
         "output_gb": round(ma.output_size_in_bytes / gb, 3),
         "temp_gb": round(ma.temp_size_in_bytes / gb, 3),
@@ -118,11 +148,11 @@ def main():
 
     rng_np = np.random.default_rng(0)
     host_batch = {
-        "tgt": rng_np.uniform(-1, 1, (1, F, H, W, 3)).astype(np.float32),
-        "ref": rng_np.uniform(-1, 1, (1, H, W, 3)).astype(np.float32),
-        "clip": rng_np.uniform(-1, 1, (1, sz, sz, 3)).astype(np.float32),
-        "pose": rng_np.uniform(0, 1, (1, F, H, W, 3)).astype(np.float32),
-        "plucker": rng_np.uniform(-1, 1, (1, F, H, W, 6)).astype(np.float32),
+        "tgt": rng_np.uniform(-1, 1, (B, F, H, W, 3)).astype(np.float32),
+        "ref": rng_np.uniform(-1, 1, (B, H, W, 3)).astype(np.float32),
+        "clip": rng_np.uniform(-1, 1, (B, sz, sz, 3)).astype(np.float32),
+        "pose": rng_np.uniform(0, 1, (B, F, H, W, 3)).astype(np.float32),
+        "plucker": rng_np.uniform(-1, 1, (B, F, H, W, 6)).astype(np.float32),
     }
     dev = jax.block_until_ready(
         packed_device_put({"t": trainable, "f": frozen, "b": host_batch}))
@@ -136,7 +166,9 @@ def main():
     dts, losses = [], []
     for i in range(n_steps + 1):  # step 0 = warmup/first launch
         t0 = time.time()
-        live, aux = compiled(live, dev["b"], key)
+        # fold the step index into the key so timed steps sample different
+        # timesteps/noise — the median reflects timestep-dependent cost
+        live, aux = compiled(live, dev["b"], jax.random.fold_in(key, i))
         loss = float(aux["loss"])  # forced fetch: drains the device queue
         dts.append(time.time() - t0)
         losses.append(loss)
