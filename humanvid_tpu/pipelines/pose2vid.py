@@ -106,11 +106,26 @@ def _denoise_scan(
     else:
         cfg_mult = 2 if do_cfg else 1
 
+    win_mask = None  # (W,) 1.0 for real windows, 0.0 for padding
     if mesh is not None:
         # Shard the window-batch (CFG x windows) axis across chips: the
         # reference's serial inner window loop (pipeline_pose2vid_long.py:514)
         # becomes the parallel axis; XLA inserts the all-reduce for the
-        # overlap scatter-add below. Requires (cfg_mult * W) % n_devices == 0.
+        # overlap scatter-add below. When (cfg_mult * W) does not divide the
+        # mesh axis, the window batch is padded with copies of window 0 whose
+        # eps is masked out of the overlap scatter-add — any clip length
+        # shards on any mesh (padding rows burn compute, so efficiency is
+        # best at divisible counts; the flagship 24f point is 1 window x 2
+        # CFG = 2 useful rows however many chips run it).
+        n_dev = mesh.shape[window_axis]
+        if (cfg_mult * W) % n_dev:
+            w_pad = W
+            while (cfg_mult * w_pad) % n_dev:
+                w_pad += 1
+            window = jnp.concatenate(
+                [window, jnp.broadcast_to(window[:1], (w_pad - W, F))], 0)
+            win_mask = (jnp.arange(w_pad) < W).astype(jnp.float32)
+            W = w_pad
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def shard_rows(x):
@@ -220,10 +235,17 @@ def _denoise_scan(
             eps = eps.reshape((cfg_mult, W, F, h8, w8, eps.shape[-1]))
             n_banks = cfg_mult
 
-        # overlap accumulation (reference :550-556)
+        # overlap accumulation (reference :550-556); padded dummy windows
+        # contribute zero to both the numerator and the frame counter
         zero = jnp.zeros((n_banks,) + latents.shape, eps.dtype)
+        if win_mask is not None:
+            eps = eps * win_mask[None, :, None, None, None, None].astype(eps.dtype)
+            frame_w = jnp.broadcast_to(
+                win_mask[:, None].astype(eps.dtype), (W, F)).reshape(-1)
+        else:
+            frame_w = 1.0
         noise_sum = zero.at[:, win].add(eps)
-        counter = jnp.zeros(latents.shape[0], eps.dtype).at[win.reshape(-1)].add(1.0)
+        counter = jnp.zeros(latents.shape[0], eps.dtype).at[win.reshape(-1)].add(frame_w)
         noise_avg = noise_sum / counter[None, :, None, None, None]
 
         if do_cfg:
@@ -310,9 +332,10 @@ class Pose2VideoPipeline:
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
     CFG x window batch is sharded across its devices (the reference's serial
-    window loop turned into the multi-chip axis, SURVEY §2.9). Requires the
-    per-step window count x CFG multiple to divide the device count evenly
-    for clean sharding.
+    window loop turned into the multi-chip axis, SURVEY §2.9). Non-divisible
+    (CFG x window) counts are padded with masked dummy windows so any clip
+    length runs on any mesh; efficiency is best when the row count divides
+    the device count (padding rows burn compute).
     """
 
     def __init__(self, system: CamAnimate, params: Params, mesh=None):

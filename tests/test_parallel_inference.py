@@ -95,3 +95,36 @@ def test_sequential_windows_no_cfg(setup):
     batched = _run(pipe, setup, guidance_scale=1.0)
     seq = _run(pipe, setup, guidance_scale=1.0, window_mode="sequential")
     np.testing.assert_allclose(seq.latents, batched.latents, atol=2e-4)
+
+
+def test_sharded_non_divisible_pads(setup):
+    """A (CFG x windows) row count that does NOT divide the mesh must still
+    run (padded with masked dummy windows) and match the single-device path.
+
+    6 rows over 4 devices -> pads to 8 rows (window 0 duplicated twice per
+    CFG bank, eps masked out of the overlap scatter-add)."""
+    system, params = setup[0], setup[1]
+    baseline = _run(Pose2VideoPipeline(system, params), setup)
+
+    mesh = make_mesh(4)  # 6 window-batch rows % 4 != 0
+    sharded = _run(Pose2VideoPipeline(system, params, mesh=mesh), setup)
+
+    assert sharded.videos.shape == baseline.videos.shape
+    np.testing.assert_allclose(sharded.latents, baseline.latents, atol=2e-4)
+    np.testing.assert_allclose(sharded.videos, baseline.videos, atol=2e-3)
+
+
+def test_sharded_single_window_many_devices(setup):
+    """The flagship shape class: 1 window x 2 CFG rows on an 8-device mesh —
+    previously impossible (2 % 8 != 0); now pads to 8 rows."""
+    system, params = setup[0], setup[1]
+    _, _, ref, pose, plucker, clip = setup
+    pose8, plk8 = pose[:8], plucker[:8]  # 8 frames, context 8 -> 1 window
+    kw = dict(num_inference_steps=2, context_frames=8, context_overlap=4,
+              guidance_scale=3.5, rng=jax.random.PRNGKey(7))
+    baseline = Pose2VideoPipeline(system, params)(
+        ref, pose8, plk8, clip, **kw)
+    mesh = make_mesh(8)
+    sharded = Pose2VideoPipeline(system, params, mesh=mesh)(
+        ref, pose8, plk8, clip, **kw)
+    np.testing.assert_allclose(sharded.latents, baseline.latents, atol=2e-4)
