@@ -138,8 +138,29 @@ class Downsample(nn.Module):
         )(x)
 
 
+class Conv3x3Params(nn.Module):
+    """Declares the (kernel, bias) of a 3x3 ``nn.Conv`` without running it —
+    identical param tree/inits, so fused consumers (``nearest_up2_conv3x3``)
+    swap in with zero checkpoint-conversion changes."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_features, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class Upsample(nn.Module):
-    """Nearest x2 then 3x3 conv."""
+    """Nearest x2 then 3x3 conv — computed as ONE low-res subpixel conv
+    (``ops.conv.nearest_up2_conv3x3``): exact same math, but the 4x nearest
+    repeat is never materialized in HBM (it was ~half the VAE-decode
+    elementwise budget, PERF.md r3)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
@@ -147,16 +168,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
-        # one broadcast+reshape instead of two materialized repeats (the
-        # intermediate (n, 2h, w, c) copy is pure HBM traffic at full res)
-        x = jnp.broadcast_to(
-            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
-        ).reshape(n, 2 * h, 2 * w, c)
-        return nn.Conv(
-            self.channels, (3, 3), padding=1, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="conv",
-        )(x)
+        from ..ops.conv import nearest_up2_conv3x3
+
+        kernel, bias = Conv3x3Params(self.channels, self.param_dtype,
+                                     name="conv")(x.shape[-1])
+        # tap combination in param dtype (fp32 masters), conv in self.dtype
+        return nearest_up2_conv3x3(x, kernel, bias, dtype=self.dtype)
 
 
 class TransformerBlock(nn.Module):

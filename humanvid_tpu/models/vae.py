@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import MultiHeadAttention
+from ..ops.conv import nearest_up2_conv3x3
 from .configs import VAEConfig
+from .layers import Conv3x3Params
 
 
 class _VAEResnet(nn.Module):
@@ -126,13 +128,12 @@ class VAEDecoder(nn.Module):
                 x = _VAEResnet(ch, groups=cfg.norm_num_groups, dtype=self.dtype, param_dtype=self.param_dtype,
                                name=f"up_{i}_resnets_{j}")(x)
             if i < len(rev) - 1:
-                n, h, w, c = x.shape
-                # single broadcast+reshape (no intermediate 2h-repeat copy)
-                x = jnp.broadcast_to(
-                    x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
-                ).reshape(n, 2 * h, 2 * w, c)
-                x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name=f"up_{i}_upsample")(x)
+                c = x.shape[-1]
+                # fused subpixel upsample-conv: exact nearest-x2 + 3x3 SAME
+                # math with no materialized 4x repeat (ops/conv.py)
+                kernel, bias = Conv3x3Params(
+                    c, self.param_dtype, name=f"up_{i}_upsample")(c)
+                x = nearest_up2_conv3x3(x, kernel, bias, dtype=self.dtype)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="conv_norm_out")(x)
         x = nn.silu(x)

@@ -126,3 +126,40 @@ def test_geglu_ff_chunked_matches_unchunked():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
             g_full, g_chunk)
+
+
+def test_nearest_up2_conv3x3_matches_unfused():
+    """The fused subpixel upsample-conv must equal nearest-x2 repeat + 3x3
+    SAME conv exactly (incl. boundaries), fwd and grad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from humanvid_tpu.ops.conv import nearest_up2_conv3x3
+
+    rng = np.random.default_rng(5)
+    for (h, w, cin, cout) in [(5, 7, 8, 8), (4, 4, 3, 6), (1, 3, 2, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+        def unfused(x, k, b):
+            n, hh, ww, c = x.shape
+            up = jnp.broadcast_to(
+                x[:, :, None, :, None, :], (n, hh, 2, ww, 2, c)
+            ).reshape(n, 2 * hh, 2 * ww, c)
+            y = jax.lax.conv_general_dilated(
+                up, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + b
+
+        ref = unfused(x, k, b)
+        out = nearest_up2_conv3x3(x, k, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        g_ref = jax.grad(lambda *a: jnp.sum(unfused(*a) ** 2), (0, 1, 2))(x, k, b)
+        g_out = jax.grad(lambda *a: jnp.sum(nearest_up2_conv3x3(*a) ** 2),
+                         (0, 1, 2))(x, k, b)
+        for a, c_ in zip(g_out, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c_),
+                                       rtol=1e-4, atol=1e-4)
