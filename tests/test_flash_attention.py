@@ -190,3 +190,37 @@ def test_flash_packed_no_bias_variant():
         for a, b_ in zip(g_p, g_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=5e-4)
+
+
+def test_flash_bf16_denominator_grad_error_bounded():
+    """ADVICE r3: the r3 kernel computes the softmax denominator/LSE from p
+    cast to v.dtype (bf16 in production) via the ones-column MXU rowsum. This
+    bounds the resulting fwd/grad error at a training-like shape against the
+    exact fp32 einsum reference."""
+    q, k, v, bias = _make(b=1, h=2, lq=256, lk=256, d=24, dtype=jnp.float32)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    def loss_flash(q_, k_, v_):
+        out = flash_attention(q_, k_, v_, bias, block_q=128, block_kv=128)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_exact(q_, k_, v_):
+        qf, kf, vf = (t.astype(jnp.float32) for t in (q_, k_, v_))
+        b, h, lq, d = qf.shape
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / np.sqrt(d)
+        logits = logits + bias[:, :, 0, :][:, :, None, :]
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+        return (out ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():  # fwd AND bwd kernels
+        g_flash = jax.grad(loss_flash, (0, 1, 2))(qb, kb, vb)
+    g_exact = jax.grad(loss_exact, (0, 1, 2))(q, k, v)
+    for gf, ge in zip(g_flash, g_exact):
+        gf = np.asarray(gf, np.float32)
+        ge = np.asarray(ge, np.float32)
+        denom = max(1e-6, float(np.abs(ge).max()))
+        rel = float(np.abs(gf - ge).max()) / denom
+        # bf16 inputs + bf16-quantized LSE: grads stay within ~2% of the
+        # exact fp32 gradient at this shape (the bound this test records)
+        assert rel < 2e-2, rel
