@@ -11,7 +11,7 @@ inventories (``tools/make_random_metric_weights.py``) — values are
 meaningless by design; zero skipped metrics is the assertion.
 
 Usage (on the axon TPU):  python tools/eval_gate.py [--clips 4] [--steps 2]
-Writes EVAL_GATE_r03.json at the repo root with per-phase wall time.
+Writes EVAL_GATE_r04.json at the repo root with per-phase wall time.
 """
 
 import argparse
@@ -61,7 +61,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clips", type=int, default=4)
     p.add_argument("--steps", type=int, default=2)
-    p.add_argument("--out", default=os.path.join(REPO, "EVAL_GATE_r03.json"))
+    p.add_argument("--out", default=os.path.join(REPO, "EVAL_GATE_r04.json"))
     args = p.parse_args()
 
     work = tempfile.mkdtemp(prefix="eval_gate_")

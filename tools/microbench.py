@@ -381,9 +381,45 @@ def probe_gn():
         _emit(f"gn_silu_{tag}", sec, dts, hbm_gbs=round(gbs, 1))
 
 
+def probe_vaeattn():
+    """VAE mid-block single-head attention at the decode shape (8 frames,
+    6144 tokens, d=512): the r4 decode trace put the chunked-XLA softmax
+    fusion at 0.433 s/iter — 44% of the whole decode. Candidate fix: the
+    packed flash kernel (d=512 pads lanes to 640; QK/PV contractions are
+    full-depth, unlike the d=40 UNet heads)."""
+    from humanvid_tpu.ops.attention import _chunked_xla_attention
+    from humanvid_tpu.ops.flash_attention import flash_attention
+
+    b, h, l, d = 8, 1, 6144, 512
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.bfloat16)
+    flops = 4 * b * h * l * l * d
+
+    fn, n = _chain(lambda q, k, v: _chunked_xla_attention(q, k, v, None), 4)
+    sec, dts = _time(jax.jit(fn), q, k, v)
+    sec /= n
+    _emit("vaeattn_chunked_xla", sec, dts, tflops=round(flops / sec / 1e12, 2))
+
+    for bq, bkv in ((512, 1024), (1024, 1024), (512, 2048)):
+        fn, n = _chain(functools.partial(
+            flash_attention, block_q=bq, block_kv=bkv), 4)
+        try:
+            sec, dts = _time(jax.jit(fn), q, k, v)
+        except Exception as e:  # noqa: BLE001
+            print(f"# vaeattn flash ({bq},{bkv}) failed: "
+                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr, flush=True)
+            continue
+        sec /= n
+        _emit(f"vaeattn_flash_{bq}x{bkv}", sec, dts,
+              tflops=round(flops / sec / 1e12, 2))
+
+
 PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
           "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
-          "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn}
+          "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn,
+          "vaeattn": probe_vaeattn}
 
 
 if __name__ == "__main__":

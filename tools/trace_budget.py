@@ -106,6 +106,13 @@ def _device_op_budget(logdir: str):
     budget = {}
     for name, sec in per_op.items():
         cls = _classify(name)
+        # conv-rooted loop fusions are named plain "fusion.N"; detect them by
+        # their leading (kh, kw, Ci, Co) kernel operand in the HLO long_name
+        # so decode convolutions are not booked as elementwise (r4 finding)
+        if cls == "elementwise_fusion":
+            meta = str(_OP_META.get(name, ""))
+            if re.search(r"fusion\((bf16|f32|f16)\[\d,\d,\d+,\d+\]", meta):
+                cls = "convolution"
         budget[cls] = budget.get(cls, 0.0) + sec
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:25]
     return budget, top, sum(per_op.values()), excluded_s
@@ -120,6 +127,7 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
             out = fn(*args)
             # forced fetch: drains the device queue (axon ack quirk, PERF.md)
             float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
+    _OP_META.clear()  # op names (fusion.N) collide across programs
     budget, top, total, excluded = _device_op_budget(logdir)
     shutil.rmtree(logdir, ignore_errors=True)
     per_iter = {k: round(v / iters, 4) for k, v in
