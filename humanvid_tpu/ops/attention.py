@@ -116,11 +116,12 @@ def resolve_attention_backend(backend: Optional[str], lq: int,
         import os
 
         long_backend = os.environ.get("HVT_LONG_ATTENTION", "flash")
-        if long_backend == "flash" and head_dim > 256:
-            # huge head dims (the VAE's single 512-wide head) get the chunked
-            # XLA path: one 512-wide kv block saturates VMEM headroom in the
-            # pallas kernel and has been implicated in device faults here
-            long_backend = "chunked"
+        # r4: huge head dims (the VAE's single 512-wide head) also route to
+        # the flash kernel — measured 60 TF/s vs 3.9 for the chunked-XLA
+        # path at the decode shape (8, 6144, d=512), 15x per call, and the
+        # old VMEM-fault concern did not reproduce at the (1024, 1024)
+        # blocks (tools/microbench.py vaeattn). HVT_LONG_ATTENTION=chunked
+        # restores the old route if ever needed.
         backend = long_backend if lq >= _FLASH_MIN_QLEN else "xla"
     return backend
 

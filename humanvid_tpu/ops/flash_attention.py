@@ -70,6 +70,8 @@ from jax.experimental.pallas import tpu as pltpu
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
+_BWD_BLOCK_Q = int(os.environ.get("HVT_FLASH_BWD_BQ", "512"))
+_BWD_BLOCK_KV = int(os.environ.get("HVT_FLASH_BWD_BKV", "1024"))
 _VMEM_LIMIT = int(os.environ.get("HVT_FLASH_VMEM", str(96 * 1024 * 1024)))
 
 # Softmax runs in the log2 domain; the saved log-sum-exp is in LOG2 units and
@@ -467,11 +469,13 @@ def _flash_vjp_bwd(heads, block_q, block_kv, res, g):
     if _BWD_MODE == "kernel":
         # The backward kernels hold several fp32 (block_q, block_kv)
         # intermediates per head per step; the forward's tuned (1024, 2048)
-        # blocks would overrun scoped VMEM. Keep the backward at (512, 1024)
-        # independent of the forward tuning.
+        # blocks would overrun scoped VMEM. The backward blocks are tuned
+        # independently of the forward (HVT_FLASH_BWD_BQ/BKV; r4 sweep at the
+        # stage-2 training shape — tools/microbench.py flash_bwd).
         dq, dk, dv = _flash_bwd_kernel(
             q, k, v, key_bias, out, lse, g, heads,
-            block_q=min(block_q, 512), block_kv=min(block_kv, 1024))
+            block_q=min(block_q, _BWD_BLOCK_Q),
+            block_kv=min(block_kv, _BWD_BLOCK_KV))
         return dq, dk, dv, None
     return _flash_vjp_bwd_chunked(heads, (q, k, v, key_bias), g)
 

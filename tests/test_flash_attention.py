@@ -224,3 +224,19 @@ def test_flash_bf16_denominator_grad_error_bounded():
         # bf16 inputs + bf16-quantized LSE: grads stay within ~2% of the
         # exact fp32 gradient at this shape (the bound this test records)
         assert rel < 2e-2, rel
+
+
+def test_flash_wide_head_matches_reference_interpret():
+    """The VAE mid-block shape class: a single 512-wide head (r4 routes it to
+    the flash kernel — 15x the chunked-XLA path on chip)."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, h, l, d = 2, 1, 256, 512
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, None, block_q=128, block_kv=128)
+    zero_bias = jnp.zeros((b * h, l), jnp.float32)
+    ref = _xla_reference(q.reshape(-1, l, d), k.reshape(-1, l, d),
+                         v.reshape(-1, l, d), zero_bias).reshape(q.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

