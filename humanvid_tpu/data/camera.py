@@ -148,23 +148,38 @@ def ray_condition(K, c2w, H: int, W: int, xp=np):
         (V, H, W, 6) float32.
     """
     V = K.shape[0]
+    dt = xp.float32
+    # fp32 throughout (matches the reference's torch fp32 math) and the
+    # per-view cross product folded into one (HW, 3) @ (3, 6) matmul:
+    # o x d = d_row @ skew(o)^T with o constant per view, so the whole
+    # Plücker map is directions @ [R^T skew(o)^T, R^T]. The previous
+    # f64 np.cross formulation was 6.5 s/sample at 24x896x512 — 82% of the
+    # stage-2 loader's per-sample cost (tools/loader_bench.py, r4).
     j, i = xp.meshgrid(
-        xp.linspace(0, H - 1, H), xp.linspace(0, W - 1, W), indexing="ij"
+        xp.arange(H, dtype=dt), xp.arange(W, dtype=dt), indexing="ij"
     )
     i = i.reshape(1, H * W) + 0.5  # x pixel coords
     j = j.reshape(1, H * W) + 0.5  # y pixel coords
 
+    K = K.astype(dt)
     fx, fy, cx, cy = (K[:, k:k + 1] for k in range(4))  # (V, 1)
     xs = (i - cx) / fx
     ys = (j - cy) / fy
-    zs = xp.ones_like(xs * ys)
-    directions = xp.stack([xs * zs, ys * zs, zs], axis=-1)  # (V, HW, 3)
+    zs = xp.ones_like(xs)
+    directions = xp.stack([xs, ys, zs], axis=-1)  # (V, HW, 3)
     directions = directions / xp.linalg.norm(directions, axis=-1, keepdims=True)
 
-    rays_d = directions @ xp.swapaxes(c2w[:, :3, :3], -1, -2)  # (V, HW, 3)
-    rays_o = xp.broadcast_to(c2w[:, None, :3, 3], rays_d.shape)
-    rays_dxo = xp.cross(rays_o, rays_d)
-    plucker = xp.concatenate([rays_dxo, rays_d], axis=-1)
+    R = c2w[:, :3, :3].astype(dt)
+    o = c2w[:, :3, 3].astype(dt)
+    zero = xp.zeros_like(o[:, 0])
+    skew = xp.stack([
+        xp.stack([zero, -o[:, 2], o[:, 1]], axis=-1),
+        xp.stack([o[:, 2], zero, -o[:, 0]], axis=-1),
+        xp.stack([-o[:, 1], o[:, 0], zero], axis=-1),
+    ], axis=-2)  # (V, 3, 3) = skew(o)
+    rt = xp.swapaxes(R, -1, -2)
+    m = xp.concatenate([rt @ xp.swapaxes(skew, -1, -2), rt], axis=-1)  # (V,3,6)
+    plucker = directions @ m  # [o x d, d]
     return plucker.reshape(V, H, W, 6).astype(xp.float32)
 
 

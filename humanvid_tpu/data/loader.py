@@ -60,15 +60,54 @@ class Loader:
 
         def produce():
             try:
+                from collections import deque
+
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for batch_idx in self.batch_sampler:
+                    # sample-level pipelining: keep enough FUTURE batches
+                    # submitted that every worker has a sample to decode even
+                    # at batch_size 1 (a per-batch pool.map leaves N-1
+                    # workers idle for small batches — measured 2.9 s/sample
+                    # serial vs the pool-wide parallel rate, loader_bench r4)
+                    it = iter(self.batch_sampler)
+                    pending: deque = deque()
+
+                    def refill():
+                        # submit until every worker has work plus a margin,
+                        # bounded in SAMPLES (a decoded stage-2 sample is
+                        # ~0.5 GB of host arrays) and in batches
+                        while not stop.is_set():
+                            inflight = sum(len(fs) for fs in pending)
+                            if pending and (
+                                    inflight >= self.num_workers
+                                    + max(1, self.prefetch)
+                                    and len(pending) > self.prefetch):
+                                return
+                            if len(pending) > self.prefetch + self.num_workers:
+                                return
+                            batch_idx = next(it, None)
+                            if batch_idx is None:
+                                return
+                            pending.append(
+                                [pool.submit(self.dataset.__getitem__, i)
+                                 for i in batch_idx])
+
+                    refill()
+                    while pending:
                         if stop.is_set():
+                            for futs in pending:
+                                for f in futs:
+                                    f.cancel()
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        samples = [f.result() for f in pending.popleft()]
+                        refill()  # resubmit before collate/put so the pool
+                        # stays saturated through the host-side assembly
                         batch = collate(samples)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
                         if not put(batch):
+                            for futs in pending:
+                                for f in futs:
+                                    f.cancel()
                             return
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 error.append(e)
