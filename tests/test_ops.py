@@ -163,3 +163,69 @@ def test_nearest_up2_conv3x3_matches_unfused():
         for a, c_ in zip(g_out, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c_),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_act_matches_flax():
+    """ops.group_norm reference path vs nn.GroupNorm (+silu), values+grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from humanvid_tpu.ops.group_norm import _reference, group_norm_act
+
+    rng = np.random.default_rng(7)
+    for shape, groups in [((2, 6, 4, 32), 8), ((3, 10, 16), 4)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=shape[-1:]).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=shape[-1:]).astype(np.float32))
+
+        gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+        want = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+        got = group_norm_act(x, scale, bias, groups, 1e-5, act=None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+        want_s = nn.silu(want)
+        got_s = group_norm_act(x, scale, bias, groups, 1e-5, act="silu")
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=2e-5, atol=2e-5)
+
+        g_ref = jax.grad(lambda *a: jnp.sum(
+            nn.silu(gn.apply({"params": {"scale": a[1], "bias": a[2]}},
+                             a[0])) ** 2), (0, 1, 2))(x, scale, bias)
+        g_got = jax.grad(lambda *a: jnp.sum(
+            _reference(a[0], a[1], a[2], groups, 1e-5, "silu") ** 2),
+            (0, 1, 2))(x, scale, bias)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_group_norm_fused_kernel_interpret():
+    """The Pallas stats kernel + fused normalize path vs the reference,
+    values AND custom_vjp grads, incl. a non-divisible row count."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from humanvid_tpu.ops.group_norm import _fused, _reference
+
+    rng = np.random.default_rng(8)
+    for shape, groups in [((2, 8, 8, 64), 8), ((1, 7, 5, 32), 4)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=shape[-1:]).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=shape[-1:]).astype(np.float32))
+        want = _reference(x, scale, bias, groups, 1e-5, "silu")
+        with pltpu.force_tpu_interpret_mode():
+            got = _fused(x, scale, bias, groups, 1e-5, "silu", True)
+            g_got = jax.grad(lambda *a: jnp.sum(
+                _fused(a[0], a[1], a[2], groups, 1e-5, "silu", True) ** 2),
+                (0, 1, 2))(x, scale, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        g_ref = jax.grad(lambda *a: jnp.sum(
+            _reference(a[0], a[1], a[2], groups, 1e-5, "silu") ** 2),
+            (0, 1, 2))(x, scale, bias)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

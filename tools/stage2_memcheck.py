@@ -163,8 +163,11 @@ def main():
     key = jax.device_put(jax.random.PRNGKey(0))
 
     n_steps = int(os.environ.get("HVT_EXEC_STEPS", "3"))
+    profile_dir = os.environ.get("HVT_EXEC_PROFILE")  # trace timed steps
     dts, losses = [], []
     for i in range(n_steps + 1):  # step 0 = warmup/first launch
+        if profile_dir and i == 1:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.time()
         # fold the step index into the key so timed steps sample different
         # timesteps/noise — the median reflects timestep-dependent cost
@@ -172,6 +175,26 @@ def main():
         loss = float(aux["loss"])  # forced fetch: drains the device queue
         dts.append(time.time() - t0)
         losses.append(loss)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        # reuse the trace tool's device-op budget for a train-step breakdown
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "trace_budget",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "trace_budget.py"))
+        tb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tb)
+        budget, top, total, excluded = tb._device_op_budget(profile_dir)
+        per_step = {k: round(v / n_steps, 4) for k, v in
+                    sorted(budget.items(), key=lambda kv: -kv[1])}
+        print(json.dumps({"train_step_budget_s": per_step,
+                          "device_total_s": round(total / n_steps, 4),
+                          "excluded_span_s": round(excluded / n_steps, 4)}),
+              flush=True)
+        for name, sec in top[:15]:
+            print(f"#   {sec / n_steps:8.4f}s  {name[:110]}",
+                  file=sys.stderr, flush=True)
     assert all(np.isfinite(losses)), losses
     import statistics
     print(json.dumps({

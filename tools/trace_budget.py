@@ -35,6 +35,9 @@ H, W, F = 768, 512, 24
 
 def _classify(name: str) -> str:
     n = name.lower()
+    # flash backward kernels (train-step traces) before the generic tests
+    if "dkv" in n or n.startswith(("dq_", "_dq")) or "dq_kernel" in n:
+        return "pallas_attention_bwd"
     if "attn" in n or "flash" in n or "temporal" in n:
         return "pallas_attention"
     # collectives before the generic "reduce" test: multichip traces emit
