@@ -117,7 +117,7 @@ def _device_op_budget(logdir: str):
             if re.search(r"fusion\((bf16|f32|f16)\[\d,\d,\d+,\d+\]", meta):
                 cls = "convolution"
         budget[cls] = budget.get(cls, 0.0) + sec
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:25]
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:int(os.environ.get("HVT_TRACE_TOP", "25"))]
     return budget, top, sum(per_op.values()), excluded_s
 
 
