@@ -121,6 +121,23 @@ def _device_op_budget(logdir: str):
     return budget, top, sum(per_op.values()), excluded_s
 
 
+def _conv_tflops(long_name: str, sec: float) -> float:
+    """Effective TF/s for a convolution row: parse ``out_shape
+    convolution(in_shape, kernel_shape)`` from the HLO long name. Returns
+    0.0 when the row is not a parseable conv or sec is 0."""
+    if "convolution(" not in long_name or sec <= 0:
+        return 0.0
+    shapes = [[int(v) for v in g.split(",")] for g in
+              re.findall(r"(?:bf16|f32|f16)\[([\d,]+)\]", long_name)]
+    # "= out convolution(in ..., kernel ...)": out, input, kernel
+    if len(shapes) < 3 or len(shapes[0]) != 4 or len(shapes[2]) != 4:
+        return 0.0
+    out, ker = shapes[0], shapes[2]
+    # HWIO kernel: FLOPs = 2 * prod(out) * kh * kw * cin
+    flops = 2.0 * np.prod(out, dtype=np.float64) * ker[0] * ker[1] * ker[2]
+    return float(flops / sec / 1e12)
+
+
 def _run_traced(tag: str, fn, *args, iters: int = 3):
     out = fn(*args)
     jax.tree.map(lambda x: x.block_until_ready(), out)
@@ -140,9 +157,11 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
           file=sys.stderr)
     for name, sec in top:
         meta = _OP_META.get(name, {})
-        detail = str(meta.get("long_name") or meta.get("hlo_op") or
-                     meta.get("tf_op") or "")[:160]
-        print(f"#   {sec / iters:8.4f}s  {name[:110]}  {detail}",
+        long = str(meta.get("long_name") or meta.get("hlo_op") or
+                   meta.get("tf_op") or "")
+        tfs = _conv_tflops(long, sec / iters)
+        note = f" [{tfs:.0f} TF/s]" if tfs else ""
+        print(f"#   {sec / iters:8.4f}s{note}  {name[:110]}  {long[:160]}",
               file=sys.stderr)
     print(json.dumps({"trace": tag, "iters": iters,
                       "device_total_s": round(total / iters, 4),
