@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--run_metrics", action="store_true",
                    help="run frame metrics over gen/gt dirs after generation")
+    p.add_argument("--metrics_only", action="store_true",
+                   help="skip generation and run metrics over an existing "
+                        "output_dir (resume after a transient failure)")
     p.add_argument("--metric_weights", default=None,
                    help="directory of metric-net torch checkpoints "
                         "(metrics/weights.py layout); enables FID/FVD/LPIPS/"
@@ -69,6 +72,19 @@ def main():
     cfg = load_config(args.config)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
+    gen_dir = os.path.join(args.output_dir, "gen")
+    gt_dir = os.path.join(args.output_dir, "gt")
+
+    if args.metrics_only:
+        from humanvid_tpu.metrics.runner import evaluate_dirs
+        from humanvid_tpu.metrics.weights import load_metric_nets
+        result = evaluate_dirs(
+            gen_dir, gt_dir, out_json=os.path.join(args.output_dir, "metrics.json"),
+            **load_metric_nets(args.metric_weights),
+        )
+        print("metrics:", result)
+        return
+
     if cfg.get("model") == "tiny":  # CPU smoke tests of the CLI surface
         from humanvid_tpu.pipelines.system import tiny_config
         system = CamAnimate(tiny_config(motion_max_len=24), dtype=dtype)
@@ -81,8 +97,6 @@ def main():
     with open(args.test_meta) as f:
         meta = json.load(f)
 
-    gen_dir = os.path.join(args.output_dir, "gen")
-    gt_dir = os.path.join(args.output_dir, "gt")
     os.makedirs(gen_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)

@@ -123,3 +123,15 @@ def test_eval_pose2vid_cli(cli_data, tmp_path, monkeypatch):
     eval_pose2vid.main()
     assert (out / "gen" / "clip.mp4").exists()
     assert (out / "gt" / "clip.mp4").exists()
+
+    # resume path: metrics over the existing output dir without regenerating
+    # (tools/eval_gate.py retries the metrics phase this way after a
+    # transient device failure)
+    monkeypatch.setattr(sys, "argv", [
+        "eval_pose2vid.py", "--config", cfg, "--test_meta", meta,
+        "--output_dir", str(out), "--run_metrics", "--metrics_only",
+    ])
+    eval_pose2vid.main()
+    results = json.load(open(out / "metrics.json"))
+    assert results["num_videos"] == 1, results
+    assert np.isfinite(results["ssim"]), results

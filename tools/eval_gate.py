@@ -62,20 +62,28 @@ def main():
     p.add_argument("--clips", type=int, default=4)
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--out", default=os.path.join(REPO, "EVAL_GATE_r04.json"))
+    p.add_argument("--work", default=None,
+                   help="reuse an existing work dir from an interrupted run: "
+                        "staged inputs, metric weights, and generated clips "
+                        "found on disk are kept instead of redone")
     args = p.parse_args()
 
-    work = tempfile.mkdtemp(prefix="eval_gate_")
+    work = args.work or tempfile.mkdtemp(prefix="eval_gate_")
     timings = {}
 
     t0 = time.time()
     weights_dir = os.path.join(work, "metric_weights")
-    subprocess.run([sys.executable,
-                    os.path.join(REPO, "tools", "make_random_metric_weights.py"),
-                    weights_dir], check=True)
+    if not os.path.isdir(weights_dir) or not os.listdir(weights_dir):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "make_random_metric_weights.py"),
+             weights_dir], check=True)
     timings["make_metric_weights_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    meta_path = stage_data(work, args.clips, frames=72)  # stride 3 x 24f
+    meta_path = os.path.join(work, "test_meta.json")
+    if not os.path.exists(meta_path):
+        meta_path = stage_data(work, args.clips, frames=72)  # stride 3 x 24f
     timings["stage_data_s"] = round(time.time() - t0, 1)
 
     cfg_path = os.path.join(work, "cfg.yaml")
@@ -83,14 +91,38 @@ def main():
         f.write("model: tiny\n")
     out_dir = os.path.join(work, "eval_out")
 
-    cmd = [sys.executable, os.path.join(REPO, "scripts", "eval_pose2vid.py"),
-           "--config", cfg_path, "--test_meta", meta_path,
-           "-W", "512", "-H", "768", "-L", "24", "--stride", "3",
-           "--steps", str(args.steps), "--output_dir", out_dir,
-           "--run_metrics", "--metric_weights", weights_dir]
-    t0 = time.time()
-    subprocess.run(cmd, check=True)
-    timings["generate_and_metrics_s"] = round(time.time() - t0, 1)
+    base = [sys.executable, os.path.join(REPO, "scripts", "eval_pose2vid.py"),
+            "--config", cfg_path, "--test_meta", meta_path,
+            "-W", "512", "-H", "768", "-L", "24", "--stride", "3",
+            "--steps", str(args.steps), "--output_dir", out_dir,
+            "--metric_weights", weights_dir]
+    # Run generation and metrics as separate subprocesses with retries:
+    # the axon compile tunnel can drop mid-run (transient "broken pipe"),
+    # and a fresh process reconnects; generation output on disk is reused.
+    attempts = {"generate": 0, "metrics": 0}
+
+    def run_phase(name, cmd, tries):
+        t0 = time.time()
+        for i in range(tries):
+            attempts[name] += 1
+            r = subprocess.run(cmd)
+            if r.returncode == 0:
+                timings[f"{name}_s"] = round(time.time() - t0, 1)
+                return
+            print(f"[eval_gate] {name} attempt {i + 1}/{tries} failed "
+                  f"(rc={r.returncode}); retrying", file=sys.stderr)
+        raise SystemExit(f"{name} failed after {tries} attempts")
+
+    cmd = base + ["--run_metrics"]  # recorded command: the full protocol run
+    gen_done = all(
+        os.path.exists(os.path.join(out_dir, sub, f"clip{i}.mp4"))
+        for i in range(args.clips) for sub in ("gen", "gt"))
+    if gen_done:
+        print("[eval_gate] reusing generated clips in", out_dir)
+        timings["generate_s"] = 0.0
+    else:
+        run_phase("generate", base, tries=2)
+    run_phase("metrics", base + ["--run_metrics", "--metrics_only"], tries=3)
 
     with open(os.path.join(out_dir, "metrics.json")) as f:
         metrics = json.load(f)
@@ -113,6 +145,7 @@ def main():
         "metrics": summary,
         "skipped_metrics": skipped,
         "timings_s": timings,
+        "phase_attempts": attempts,
     }
     import jax
     rec["device"] = str(jax.devices()[0])
