@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -68,6 +69,9 @@ def _align(a: np.ndarray, b: np.ndarray) -> tuple:
     return a, b
 
 
+METRIC_GROUPS = ("frame", "lpips", "fid", "fvd", "clip")
+
+
 def evaluate_pairs(
     pairs: Sequence,
     config: MetricsConfig = MetricsConfig(),
@@ -75,8 +79,18 @@ def evaluate_pairs(
     inception_variables=None,
     i3d_variables=None,
     clip_apply=None,
+    groups: Optional[Sequence[str]] = None,
 ) -> Dict[str, float]:
-    """Run all available metrics over (name, gen_path, gt_path) pairs."""
+    """Run all available metrics over (name, gen_path, gt_path) pairs.
+
+    ``groups`` optionally restricts to a subset of :data:`METRIC_GROUPS` —
+    used to split one evaluation into several small device programs that can
+    be retried independently when the remote-compile tunnel drops mid-run.
+    """
+    groups = set(METRIC_GROUPS if groups is None else groups)
+    unknown = groups - set(METRIC_GROUPS)
+    if unknown:
+        raise ValueError(f"unknown metric groups: {sorted(unknown)}")
     results: Dict[str, List[float]] = {"ssim": [], "psnr": [], "l1": [], "lpips": [],
                                        "clip_sim": []}
     fid_gen, fid_gt, fvd_gen, fvd_gt = [], [], [], []
@@ -87,23 +101,25 @@ def evaluate_pairs(
         gen, gt = _align(gen, gt)
         sub_g, sub_t = gen[::config.frame_stride], gt[::config.frame_stride]
 
-        results["ssim"].append(float(np.mean(np.asarray(ssim(jnp.asarray(sub_g), jnp.asarray(sub_t))))))
-        results["psnr"].append(float(np.mean(np.asarray(psnr(jnp.asarray(sub_g), jnp.asarray(sub_t))))))
-        results["l1"].append(float(np.mean(np.asarray(l1(jnp.asarray(sub_g), jnp.asarray(sub_t))))))
+        if "frame" in groups:
+            results["ssim"].append(float(np.mean(np.asarray(ssim(jnp.asarray(sub_g), jnp.asarray(sub_t))))))
+            results["psnr"].append(float(np.mean(np.asarray(psnr(jnp.asarray(sub_g), jnp.asarray(sub_t))))))
+            results["l1"].append(float(np.mean(np.asarray(l1(jnp.asarray(sub_g), jnp.asarray(sub_t))))))
 
-        if lpips_variables is not None:
+        if lpips_variables is not None and "lpips" in groups:
             from .lpips import lpips_distance
             results["lpips"].append(
                 float(lpips_distance(lpips_variables, sub_g, sub_t,
                                      config.lpips_batch).mean()))
 
-        if inception_variables is not None:
+        if inception_variables is not None and "fid" in groups:
             k = config.fid_frames_per_clip
             idx = np.linspace(0, gen.shape[0] - 1, min(k, gen.shape[0])).astype(int)
             fid_gen.append(gen[idx])
             fid_gt.append(gt[idx])
 
-        if i3d_variables is not None and gen.shape[0] >= config.fvd_clip_len:
+        if (i3d_variables is not None and "fvd" in groups
+                and gen.shape[0] >= config.fvd_clip_len):
             from .i3d import preprocess_video
             s = config.fvd_stride
             need = config.fvd_clip_len * s
@@ -112,9 +128,11 @@ def evaluate_pairs(
             fvd_gen.append(preprocess_video(gsel))
             fvd_gt.append(preprocess_video(tsel))
 
-        if clip_apply is not None:
+        if clip_apply is not None and "clip" in groups:
             feats = clip_apply(gen)
             results["clip_sim"].append(frame_consistency(jnp.asarray(feats)))
+        print(f"[metrics] {name} done ({'/'.join(sorted(groups))})",
+              file=sys.stderr, flush=True)
 
     out = {k: float(np.mean(v)) for k, v in results.items() if v}
     out["num_videos"] = len(pairs)
@@ -138,9 +156,16 @@ def evaluate_pairs(
 
 
 def evaluate_dirs(gen_dir: str, gt_dir: str, out_json: Optional[str] = None,
-                  **kwargs) -> Dict[str, float]:
+                  merge: bool = False, **kwargs) -> Dict[str, float]:
+    """Evaluate paired videos; with ``merge=True`` fold the result into an
+    existing ``out_json`` (per-group runs accumulate into one record)."""
     result = evaluate_pairs(pair_videos(gen_dir, gt_dir), **kwargs)
     if out_json:
+        if merge and os.path.exists(out_json):
+            with open(out_json) as f:
+                prior = json.load(f)
+            prior.update(result)
+            result = prior
         os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)

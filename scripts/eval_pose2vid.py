@@ -58,6 +58,11 @@ def parse_args():
     p.add_argument("--metrics_only", action="store_true",
                    help="skip generation and run metrics over an existing "
                         "output_dir (resume after a transient failure)")
+    p.add_argument("--metrics_subset", default=None,
+                   help="comma list of metric groups (frame,lpips,fid,fvd,"
+                        "clip) to compute this run; results merge into "
+                        "metrics.json so groups can run as separate retried "
+                        "processes")
     p.add_argument("--metric_weights", default=None,
                    help="directory of metric-net torch checkpoints "
                         "(metrics/weights.py layout); enables FID/FVD/LPIPS/"
@@ -75,11 +80,14 @@ def main():
     gen_dir = os.path.join(args.output_dir, "gen")
     gt_dir = os.path.join(args.output_dir, "gt")
 
+    groups = (args.metrics_subset.split(",") if args.metrics_subset else None)
+
     if args.metrics_only:
         from humanvid_tpu.metrics.runner import evaluate_dirs
         from humanvid_tpu.metrics.weights import load_metric_nets
         result = evaluate_dirs(
             gen_dir, gt_dir, out_json=os.path.join(args.output_dir, "metrics.json"),
+            merge=groups is not None, groups=groups,
             **load_metric_nets(args.metric_weights),
         )
         print("metrics:", result)
@@ -150,6 +158,7 @@ def main():
         from humanvid_tpu.metrics.weights import load_metric_nets
         result = evaluate_dirs(
             gen_dir, gt_dir, out_json=os.path.join(args.output_dir, "metrics.json"),
+            merge=groups is not None, groups=groups,
             **load_metric_nets(args.metric_weights),
         )
         print("metrics:", result)

@@ -135,3 +135,17 @@ def test_eval_pose2vid_cli(cli_data, tmp_path, monkeypatch):
     results = json.load(open(out / "metrics.json"))
     assert results["num_videos"] == 1, results
     assert np.isfinite(results["ssim"]), results
+
+    # per-group subset runs merge into one metrics.json (eval_gate splits
+    # the metric stack into independently retried subprocesses this way)
+    (out / "metrics.json").unlink()
+    for group in ("frame", "clip"):
+        monkeypatch.setattr(sys, "argv", [
+            "eval_pose2vid.py", "--config", cfg, "--test_meta", meta,
+            "--output_dir", str(out), "--run_metrics", "--metrics_only",
+            "--metrics_subset", group,
+        ])
+        eval_pose2vid.main()
+    merged = json.load(open(out / "metrics.json"))
+    assert np.isfinite(merged["ssim"]), merged  # from the "frame" run
+    assert merged["num_videos"] == 1, merged

@@ -99,12 +99,12 @@ def main():
     # Run generation and metrics as separate subprocesses with retries:
     # the axon compile tunnel can drop mid-run (transient "broken pipe"),
     # and a fresh process reconnects; generation output on disk is reused.
-    attempts = {"generate": 0, "metrics": 0}
+    attempts = {}
 
     def run_phase(name, cmd, tries):
         t0 = time.time()
         for i in range(tries):
-            attempts[name] += 1
+            attempts[name] = attempts.get(name, 0) + 1
             r = subprocess.run(cmd)
             if r.returncode == 0:
                 timings[f"{name}_s"] = round(time.time() - t0, 1)
@@ -122,7 +122,12 @@ def main():
         timings["generate_s"] = 0.0
     else:
         run_phase("generate", base, tries=2)
-    run_phase("metrics", base + ["--run_metrics", "--metrics_only"], tries=3)
+    # Each metric group is its own small device program (one or two feature
+    # nets) so a tunnel drop costs one group's recompile, not the whole stack.
+    for group in ("frame,lpips", "fid", "fvd", "clip"):
+        run_phase(f"metrics[{group}]",
+                  base + ["--run_metrics", "--metrics_only",
+                          "--metrics_subset", group], tries=3)
 
     with open(os.path.join(out_dir, "metrics.json")) as f:
         metrics = json.load(f)
