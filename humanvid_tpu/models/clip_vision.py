@@ -25,12 +25,17 @@ def quick_gelu(x):
 
 
 class _CLIPLayer(nn.Module):
+    """One pre-LN ViT block, written as a ``(carry, None) -> (carry, None)``
+    step so the 24 identical layers run under ``nn.scan`` — one compiled
+    layer body instead of a 24x-unrolled HLO (the unrolled form made the
+    remote-compile path pathologically slow for a net this small)."""
+
     cfg: CLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, _=None):
         c = self.cfg
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="layer_norm1")(x)
@@ -56,7 +61,7 @@ class _CLIPLayer(nn.Module):
         h = quick_gelu(h)
         h = nn.Dense(c.hidden_size, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc2")(h)
-        return x + h
+        return x + h, None
 
 
 class CLIPVisionEncoder(nn.Module):
@@ -94,9 +99,17 @@ class CLIPVisionEncoder(nn.Module):
 
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="pre_layrnorm")(x)
-        for i in range(c.num_layers):
-            x = _CLIPLayer(cfg=c, dtype=self.dtype, param_dtype=self.param_dtype,
-                           name=f"layers_{i}")(x)
+        # stacked homogeneous layers under one scanned body: params live at
+        # ``layers/<sub>`` with a leading (num_layers,) axis (the converter
+        # stacks the per-layer torch keys, utils/convert.py)
+        scan_layers = nn.scan(
+            _CLIPLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.num_layers,
+        )
+        x, _ = scan_layers(cfg=c, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="layers")(x, None)
         pooled = x[:, 0]
         pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="post_layernorm")(pooled)

@@ -318,6 +318,19 @@ def _clip_torch_key(path: str) -> str:
     raise KeyError(path)
 
 
+# Model kinds whose repeated trunk uses nn.scan-stacked params: the flax tree
+# holds ``params/layers/<sub>`` leaves with a leading (num_layers,) axis that
+# maps onto the torch checkpoint's per-layer ``layers_{i}`` keys.
+_STACKED_KINDS = {"clip"}
+
+
+def _match_stacked(model_kind: str, path: str):
+    if model_kind not in _STACKED_KINDS:
+        return None
+    m = re.match(r"params/layers/(.+)$", path)
+    return m.group(1) if m else None
+
+
 _TRANSLATORS = {
     "unet": _unet_torch_key,
     "pose_guider": _pose_guider_torch_key,
@@ -359,6 +372,23 @@ def convert_state_dict(
     missing: List[str] = []
     used = set()
     for path, leaf_val in flat.items():
+        stacked = _match_stacked(model_kind, path)
+        if stacked is not None:
+            # nn.scan-stacked leaf: leading axis indexes the torch layers
+            rest, n = stacked, np.shape(leaf_val)[0]
+            per_shape = np.shape(leaf_val)[1:]
+            vals = []
+            for i in range(n):
+                p_i = f"params/layers_{i}/{rest}"
+                tkey = next((c for c in _candidate_keys(translate(p_i))
+                             if c in torch_sd), None)
+                if tkey is None:
+                    missing.append(translate(p_i))
+                    break
+                vals.append(_leaf_transform(p_i, torch_sd[tkey], per_shape))
+                used.add(tkey)
+            out[path] = np.stack(vals) if len(vals) == n else leaf_val
+            continue
         tkey = next(
             (c for c in _candidate_keys(translate(path)) if c in torch_sd), None)
         if tkey is None:
@@ -380,9 +410,18 @@ def export_state_dict(flax_params, model_kind: str) -> TorchDict:
     flat = _flatten(flax_params)
     sd: TorchDict = {}
     for path, v in flat.items():
-        tkey = translate(path)
         arr = np.asarray(v)
         leaf = path.rsplit("/", 1)[-1]
+        stacked = _match_stacked(model_kind, path)
+        if stacked is not None:
+            for i in range(arr.shape[0]):
+                a = arr[i]
+                if leaf == "kernel":
+                    a = (np.transpose(a, (3, 2, 0, 1)) if a.ndim == 4
+                         else np.transpose(a))
+                sd[translate(f"params/layers_{i}/{stacked}")] = a
+            continue
+        tkey = translate(path)
         if leaf == "kernel":
             arr = np.transpose(arr, (3, 2, 0, 1)) if arr.ndim == 4 else np.transpose(arr)
         sd[tkey] = arr

@@ -138,6 +138,29 @@ def _conv_tflops(long_name: str, sec: float) -> float:
     return float(flops / sec / 1e12)
 
 
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2,
+                "u16": 2, "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8}
+
+
+def _row_gbs(long_name: str, sec: float) -> float:
+    """Effective HBM GB/s for a streaming (fusion/copy/reduce) row: sum the
+    byte sizes of every typed shape in the HLO long name (output + operands —
+    an upper bound on unique traffic; rematerialized reads make it a lower
+    bound, so treat as order-of-magnitude).  0.0 when unparseable."""
+    if sec <= 0:
+        return 0.0
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", long_name):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for v in dims.split(","):
+            if v:
+                n *= int(v)
+        total += n * _DTYPE_BYTES[dt]
+    return float(total / sec / 1e9)
+
+
 def _run_traced(tag: str, fn, *args, iters: int = 3):
     out = fn(*args)
     jax.tree.map(lambda x: x.block_until_ready(), out)
@@ -161,6 +184,9 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
                    meta.get("tf_op") or "")
         tfs = _conv_tflops(long, sec / iters)
         note = f" [{tfs:.0f} TF/s]" if tfs else ""
+        if not tfs:
+            gbs = _row_gbs(long, sec / iters)
+            note = f" [{gbs:.0f} GB/s]" if gbs else ""
         print(f"#   {sec / iters:8.4f}s{note}  {name[:110]}  {long[:160]}",
               file=sys.stderr)
     print(json.dumps({"trace": tag, "iters": iters,
