@@ -124,7 +124,29 @@ def main():
         run_phase("generate", base, tries=2)
     # Each metric group is its own small device program (one or two feature
     # nets) so a tunnel drop costs one group's recompile, not the whole stack.
+    # Groups whose metrics already landed in the work dir's merged record
+    # (an interrupted earlier run) are resumed, not redone — same semantics
+    # as the generated-clip reuse above: the inputs and weights in a reused
+    # work dir are identical, so the values are the values.
+    group_keys = {"frame,lpips": ("ssim", "psnr", "l1", "lpips"),
+                  "fid": ("fid",), "fvd": ("fvd",), "clip": ("clip_sim",)}
+
+    def group_done(group):
+        try:
+            with open(os.path.join(out_dir, "metrics.json")) as f:
+                rec = json.load(f)
+            summary = rec.get("summary", rec)
+        except (OSError, ValueError):
+            return False
+        return all(isinstance(summary.get(k), (int, float))
+                   and summary[k] == summary[k] for k in group_keys[group])
+
     for group in ("frame,lpips", "fid", "fvd", "clip"):
+        if group_done(group):
+            print(f"[eval_gate] metrics[{group}] already in the merged "
+                  f"record; resumed", file=sys.stderr)
+            timings[f"metrics[{group}]_s"] = "resumed"
+            continue
         run_phase(f"metrics[{group}]",
                   base + ["--run_metrics", "--metrics_only",
                           "--metrics_subset", group], tries=3)
