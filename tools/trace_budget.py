@@ -8,7 +8,14 @@ round-1 "where the UNet pass goes" table (PERF.md) so kernel swaps can be
 re-attributed instead of hand-parsed from Perfetto.
 
 Usage:  python tools/trace_budget.py [unet] [vae]   (default: unet)
+        python tools/trace_budget.py parse:<logdir>[:iters]
 Output: one JSON line per traced program + a top-op listing on stderr.
+
+The ``parse:`` form attributes an EXISTING profile directory — e.g. a
+train-step trace captured with ``HVT_EXEC_PROFILE=<dir> python
+tools/stage2_memcheck.py exec`` — without re-running anything on the chip
+(the reference tracked the analogous per-phase training time by hand,
+``train_stage_2.py:328-330``).
 """
 
 import glob
@@ -171,8 +178,13 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
             # forced fetch: drains the device queue (axon ack quirk, PERF.md)
             float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
     _OP_META.clear()  # op names (fusion.N) collide across programs
-    budget, top, total, excluded = _device_op_budget(logdir)
+    _report(tag, logdir, iters)
     shutil.rmtree(logdir, ignore_errors=True)
+
+
+def _report(tag: str, logdir: str, iters: int):
+    """Shared budget/top-op report for a parsed profile directory."""
+    budget, top, total, excluded = _device_op_budget(logdir)
     per_iter = {k: round(v / iters, 4) for k, v in
                 sorted(budget.items(), key=lambda kv: -kv[1])}
     print(f"# --- {tag}: top device ops (total {total:.3f}s / {iters} iters; "
@@ -196,12 +208,24 @@ def _run_traced(tag: str, fn, *args, iters: int = 3):
 
 
 def main():
+    which = sys.argv[1:] or ["unet"]
+    parse_jobs = [w for w in which if w.startswith("parse:")]
+    for job in parse_jobs:
+        parts = job.split(":")
+        logdir = parts[1]
+        iters = int(parts[2]) if len(parts) > 2 else 1
+        _OP_META.clear()
+        _report(f"parsed:{os.path.basename(logdir.rstrip('/'))}",
+                logdir, iters)
+    which = [w for w in which if not w.startswith("parse:")]
+    if not which:
+        return
+
     from humanvid_tpu.ops.attention import set_default_attention_backend
     from humanvid_tpu.pipelines.system import CamAnimate, CamAnimateConfig
     from humanvid_tpu.utils.transfer import packed_device_put
 
     set_default_attention_backend("auto")
-    which = sys.argv[1:] or ["unet"]
 
     system = CamAnimate(CamAnimateConfig(), dtype=jnp.bfloat16)
     params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
