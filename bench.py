@@ -17,6 +17,16 @@ import statistics
 import sys
 import time
 
+_T0 = time.time()
+
+
+def _phase(msg):
+    print(f"# bench [{time.strftime('%H:%M:%S')} +{time.time() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_phase("interpreter up, importing")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from humanvid_tpu.utils import enable_compilation_cache
@@ -53,17 +63,19 @@ def main():
         static_camera,
     )
 
+    _phase("constructing system")
     system = CamAnimate(CamAnimateConfig(), dtype=jnp.bfloat16)
-    # structure-only init + one bulk transfer: a real on-device init dribbles
-    # ~7k small eager allocations into the heap before the big fused program
-    # runs (fragmentation pressure on a 16 GB chip) and costs minutes of
-    # per-module compiles; throughput is weight-independent.
+    # structure-only init, materialized as zeros ON DEVICE: a real on-device
+    # init dribbles ~7k small eager allocations into the heap (fragmentation
+    # pressure on a 16 GB chip) and costs minutes of per-module compiles;
+    # throughput is weight-independent, and even the single packed transfer
+    # of the zero tree cost minutes of tunnel staging in round 4 (the r4
+    # driver bench spent 23 min in setup and timed out before the number).
     params = system.init_params(jax.random.PRNGKey(0), 256, 192, frames=2,
                                 abstract=True)
-    # single packed transfer: per-leaf device_put is ~1.1k RPCs (minutes on
-    # the remote tunnel)
-    from humanvid_tpu.utils.transfer import packed_device_put
-    params = jax.block_until_ready(packed_device_put(params))
+    _phase("materializing zero params on device (no host->device payload)")
+    from humanvid_tpu.utils.transfer import device_put_zeros
+    params = jax.block_until_ready(device_put_zeros(params))
     pipe = Pose2VideoPipeline(system, params)
 
     rng = np.random.default_rng(0)
@@ -75,6 +87,7 @@ def main():
     c2w = get_relative_pose(cams)[1:]
     plucker = ray_condition(K, c2w, H, W)
 
+    _phase("staging conditioning inputs on device")
     # stage the big conditioning inputs on device ONCE, in the compute dtype:
     # like device_output above, per-run re-upload of ~170 MB (plucker +
     # pose video) measures the dev tunnel, not the chip — the production
@@ -109,11 +122,10 @@ def main():
         return out
 
     t_setup = time.time()
-    print(f"# setup done @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
+    _phase("setup done; compiling + first run")
     run()  # compile
     t_compile = time.time()
-    print(f"# compile+first-run took {t_compile - t_setup:.1f}s",
-          file=sys.stderr, flush=True)
+    _phase(f"compile+first-run took {t_compile - t_setup:.1f}s")
     # median of 3 with reported spread: this chip's run-to-run variance is
     # large (observed 0.31 vs 0.50 f/s for identical programs in different
     # processes — PERF.md), so a best-of-N would overstate; the median is
@@ -148,6 +160,56 @@ def main():
     assert np.isfinite(video[0, :2]).all(), "non-finite output frames"
     print(f"# output ok: {video.shape} mean={video.mean():.4f}",
           file=sys.stderr, flush=True)
+
+    # ---- optional c4 long-clip point (48 frames, 2 overlapping windows) ----
+    # The architecture's strongest case vs the reference's serial window loop
+    # (pipeline_pose2vid_long.py:514). Runs AFTER the flagship JSON line is
+    # banked, prints to stderr only (the driver captures the tail), and is
+    # skipped when the elapsed budget is already tight.
+    budget_min = float(os.environ.get("HVT_BENCH_C4_BUDGET_MIN", "45"))
+    if os.environ.get("HVT_BENCH_NO_C4") or (time.time() - _T0) / 60 > budget_min:
+        _phase("skipping c4 long-clip point (budget)")
+        return
+    _phase("c4 long-clip 48f: compiling + first run")
+    F4 = 48
+    pose4 = jax.block_until_ready(jnp.asarray(
+        rng.random((F4, H, W, 3)).astype(np.float32), jnp.bfloat16))
+    cams4 = static_camera((W, H), F4 + 1)
+    plucker4 = jax.block_until_ready(jnp.asarray(ray_condition(
+        intrinsics_vector(cams4[1:], (W, H)), get_relative_pose(cams4)[1:],
+        H, W), jnp.bfloat16))
+
+    def run_c4():
+        out4 = pipe(
+            ref_image, pose4, plucker4, clip_image,
+            num_inference_steps=STEPS, guidance_scale=GUIDANCE,
+            context_frames=24, context_overlap=4, decode_chunk=24,
+            cfg_mode="sequential",
+            steps_per_launch=int(os.environ.get("HVT_BENCH_SPL", "6")),
+            device_output=True,
+        )
+        checksum = float(jnp.sum(out4.latents.astype(jnp.float32)))
+        assert checksum == checksum, "NaN c4 latents checksum"
+        return out4
+
+    try:
+        run_c4()  # compile
+        _phase("c4 compiled; timing 2 runs")
+        dts4 = []
+        for _ in range(2):
+            t0 = time.time()
+            run_c4()
+            dts4.append(time.time() - t0)
+        dt4 = statistics.median(dts4)
+        print("# c4 " + json.dumps({
+            "metric": "pose2vid_long_frames_per_sec_per_chip_512x768x48f_ddim30_cfg",
+            "value": round(F4 / dt4, 4),
+            "unit": "frames/sec/chip",
+            "spread_s": [round(min(dts4), 1), round(max(dts4), 1)],
+        }), file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — c4 is a bonus point; never let it
+        # taint the already-printed flagship measurement
+        _phase(f"c4 failed (non-fatal): {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

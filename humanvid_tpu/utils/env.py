@@ -18,10 +18,14 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_compilation") -> None
         return
     if os.environ.get("HVT_NO_COMPILATION_CACHE"):
         # Opt-out: stale AOT entries compiled on a different host spam
-        # cpu_aot_loader errors (harmless but noisy/slow); the multi-chip
-        # dryrun subprocess sets this for a quiet, self-contained run.
+        # cpu_aot_loader errors (harmless but noisy/slow); callers that need
+        # a quiet, self-contained run set this.
         _CACHE_ENABLED = True
         return
+    # HVT_CACHE_DIR points a process at a dedicated cache (e.g. the
+    # multi-chip dryrun's repo-local CPU cache, pre-warmed so the driver's
+    # re-run compiles in seconds instead of ~14 min)
+    path = os.environ.get("HVT_CACHE_DIR", path)
     import jax
     from jax.experimental.compilation_cache import compilation_cache as cc
 

@@ -17,6 +17,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def device_put_zeros(tree: Any, device=None) -> Any:
+    """Materialize a zero-filled pytree matching ``tree``'s shapes/dtypes
+    DIRECTLY on device, with no host->device payload at all.
+
+    For structure-only parameters (throughput benchmarks, memory probes —
+    ``init_params(abstract=True)`` returns zero-filled host arrays) even the
+    single packed transfer of ``packed_device_put`` ships gigabytes through
+    the remote tunnel for bytes whose values don't matter. One jitted
+    program of broadcasted zeros replaces minutes of staging.
+    """
+    shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+        if not isinstance(x, (jax.Array, jax.ShapeDtypeStruct)) else
+        jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+    def build():
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    try:
+        fn = jax.jit(build)
+        if device is not None:
+            fn = jax.jit(build, out_shardings=jax.sharding.SingleDeviceSharding(device))
+        return fn()
+    except Exception:  # noqa: BLE001 — remote AOT compiler rejecting the
+        # many-output program; the packed transfer is the safe path
+        return packed_device_put(jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes), device)
+
+
 def packed_device_put(tree: Any, device=None) -> Any:
     """device_put an arbitrary pytree of arrays via one packed transfer."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)

@@ -61,7 +61,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clips", type=int, default=4)
     p.add_argument("--steps", type=int, default=2)
-    p.add_argument("--out", default=os.path.join(REPO, "EVAL_GATE_r04.json"))
+    p.add_argument("--out", default=os.path.join(REPO, "EVAL_GATE_r05.json"))
     p.add_argument("--work", default=None,
                    help="reuse an existing work dir from an interrupted run: "
                         "staged inputs, metric weights, and generated clips "
@@ -70,6 +70,27 @@ def main():
 
     work = args.work or tempfile.mkdtemp(prefix="eval_gate_")
     timings = {}
+
+    # Config stamp: resumed artifacts are only valid if the work dir was
+    # produced by the SAME gate config — otherwise stale clips/metrics from
+    # an earlier differently-shaped run would silently merge into the record.
+    import hashlib
+    stamp = hashlib.sha256(json.dumps(
+        {"clips": args.clips, "steps": args.steps,
+         "shape": "512x768x24f/stride3/frames72"},
+        sort_keys=True).encode()).hexdigest()[:16]
+    stamp_path = os.path.join(work, "config_stamp.txt")
+    os.makedirs(work, exist_ok=True)
+    if os.path.exists(stamp_path):
+        prev = open(stamp_path).read().strip()
+        if prev != stamp:
+            raise SystemExit(
+                f"work dir {work} was produced with a different gate config "
+                f"(stamp {prev} != {stamp}); refusing to merge stale "
+                "artifacts — use a fresh --work dir")
+    else:
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
 
     t0 = time.time()
     weights_dir = os.path.join(work, "metric_weights")

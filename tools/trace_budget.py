@@ -211,9 +211,14 @@ def main():
     which = sys.argv[1:] or ["unet"]
     parse_jobs = [w for w in which if w.startswith("parse:")]
     for job in parse_jobs:
-        parts = job.split(":")
-        logdir = parts[1]
-        iters = int(parts[2]) if len(parts) > 2 else 1
+        # "parse:<logdir>[:iters]" — logdir may itself contain colons, so
+        # only treat a trailing ":<digits>" as the iters suffix
+        spec = job.split(":", 1)[1]
+        logdir, iters = spec, 1
+        if ":" in spec:
+            head, tail = spec.rsplit(":", 1)
+            if tail.isdigit():
+                logdir, iters = head, int(tail)
         _OP_META.clear()
         _report(f"parsed:{os.path.basename(logdir.rstrip('/'))}",
                 logdir, iters)
