@@ -90,13 +90,12 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # x: ((b f), h, w, c); temb: ((b f), time_embed_dim)
         in_channels = x.shape[-1]
-        # plain nn.GroupNorm + silu: XLA fuses the whole stats+normalize+silu
-        # chain into ~2 HBM passes here. The Pallas-stats variant
-        # (FusedGroupNorm / ops/group_norm.py) was measured SLOWER end to end
-        # on v5e (UNet pass 0.584 -> 0.609 s, VAE decode 0.543 -> 0.769 s,
-        # r4 traces): the kernel boundary breaks XLA's mega-fusions and adds
-        # copies. Kept as an opt-in experiment, not the default.
-        gn = lambda name: nn.GroupNorm(
+        # FusedGroupNorm routes through ops.group_norm: the default impl is
+        # selected by HVT_GN_IMPL (flax order / lane-friendly two-stage
+        # stats / r4 Pallas kernel — the Pallas arm measured SLOWER end to
+        # end on v5e, r4 traces; the two-stage order is pure XLA so the
+        # mega-fusions survive). Param tree identical to nn.GroupNorm.
+        gn = lambda name: FusedGroupNorm(
             num_groups=self.groups, epsilon=self.norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name,
         )
@@ -286,7 +285,7 @@ class SpatialTransformer(nn.Module):
     ):
         bf, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(
+        x = FusedGroupNorm(
             num_groups=self.groups, epsilon=self.norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="norm",
         )(x)
@@ -420,7 +419,7 @@ class TemporalTransformer(nn.Module):
         bf, h, w, c = x.shape
         b = bf // frames
         residual = x
-        x = nn.GroupNorm(
+        x = FusedGroupNorm(
             num_groups=32, epsilon=self.norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="norm",
         )(x)

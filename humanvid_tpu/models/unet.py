@@ -36,6 +36,7 @@ from ..ops.embeddings import sinusoidal_timestep_embedding
 from .configs import UNetConfig
 from .layers import (
     Downsample,
+    FusedGroupNorm,
     ResnetBlock,
     SpatialTransformer,
     TemporalTransformer,
@@ -193,9 +194,10 @@ class UNetConditionModel(nn.Module):
                 sample = Upsample(ch, dtype=self.dtype, param_dtype=self.param_dtype,
                                   name=f"up_{i}_upsample")(sample)
 
-        sample = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
-                              dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="conv_norm_out")(sample)
+        sample = FusedGroupNorm(num_groups=cfg.norm_num_groups,
+                                epsilon=cfg.norm_eps, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="conv_norm_out")(sample)
         sample = nn.silu(sample)
         sample = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="conv_out")(sample)

@@ -23,7 +23,7 @@ from flax import linen as nn
 from ..ops.attention import MultiHeadAttention
 from ..ops.conv import nearest_up2_conv3x3
 from .configs import VAEConfig
-from .layers import Conv3x3Params
+from .layers import Conv3x3Params, FusedGroupNorm
 
 
 class _VAEResnet(nn.Module):
@@ -35,13 +35,13 @@ class _VAEResnet(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm1")(x)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
@@ -61,8 +61,8 @@ class _VAEAttention(nn.Module):
     def __call__(self, x):
         n, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="group_norm")(x)
+        x = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="group_norm")(x)
         x = x.reshape(n, h * w, c)
         x = MultiHeadAttention(
             query_dim=c, heads=1, head_dim=c, qkv_bias=True, dtype=self.dtype,
@@ -94,8 +94,8 @@ class VAEEncoder(nn.Module):
         x = _VAEResnet(ch, groups=cfg.norm_num_groups, dtype=self.dtype, param_dtype=self.param_dtype, name="mid_resnets_0")(x)
         x = _VAEAttention(ch, groups=cfg.norm_num_groups, dtype=self.dtype, param_dtype=self.param_dtype, name="mid_attn")(x)
         x = _VAEResnet(ch, groups=cfg.norm_num_groups, dtype=self.dtype, param_dtype=self.param_dtype, name="mid_resnets_1")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="conv_norm_out")(x)
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv_out")(x)
@@ -134,8 +134,8 @@ class VAEDecoder(nn.Module):
                 kernel, bias = Conv3x3Params(
                     c, self.param_dtype, name=f"up_{i}_upsample")(c)
                 x = nearest_up2_conv3x3(x, kernel, bias, dtype=self.dtype)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="conv_norm_out")(x)
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv_out")(x)

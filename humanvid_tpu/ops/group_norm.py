@@ -103,6 +103,45 @@ def _reference(x, scale, bias, groups: int, eps: float, act: Optional[str]):
     return y.astype(x.dtype)
 
 
+def _two_stage(x, scale, bias, groups: int, eps: float, act: Optional[str]):
+    """Pure-XLA GroupNorm(+act) with a lane-friendly stats order.
+
+    ``_reference`` (= flax ``nn.GroupNorm``) reshapes channels to
+    ``(groups, c//groups)`` and reduces rows and the 16-wide lane-minor
+    channel fragment TOGETHER — XLA lowers that as a segmented cross-lane
+    reduction that measured 22-82 GB/s on v5e (r5 traces: 55% of the VAE
+    decode, 16% of the UNet pass). Here stats are reduced in two stages:
+    per-CHANNEL sum/sumsq over the row axis first (full 128-lane vectors,
+    sublane-direction reduce — the fast direction), then the tiny
+    ``(N, C) -> (N, groups)`` combine. One pass over x for both moments
+    (instead of mean then centered var), and the normalize stays inline so
+    XLA still fuses it into neighbors. Numerics: fp32 stats, biased variance,
+    identical to ``nn.GroupNorm`` up to one-pass-variance rounding
+    (golden-tested in tests/test_ops.py).
+    """
+    c = x.shape[-1]
+    n = x.shape[0]
+    r = int(np.prod(x.shape[1:-1]))
+    cg = c // groups
+    xf = x.reshape(n, r, c).astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)            # (N, C): sublane-direction reduce
+    s2 = jnp.sum(xf * xf, axis=1)       # fused into the same pass by XLA
+    s1 = s1.reshape(n, groups, cg).sum(-1)
+    s2 = s2.reshape(n, groups, cg).sum(-1)
+    cnt = r * cg
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    a = jnp.repeat(rstd, cg, axis=-1) * scale.astype(jnp.float32)   # (N, C)
+    b = (bias.astype(jnp.float32)
+         - jnp.repeat(mean * rstd, cg, axis=-1) * scale.astype(jnp.float32))
+    shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    y = x.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def _fused_fwd_impl(x, scale, bias, groups: int, eps: float,
                     act: Optional[str], interpret: bool):
     c = x.shape[-1]
@@ -158,9 +197,12 @@ def group_norm_act(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     """
     c = x.shape[-1]
     assert c % groups == 0, (c, groups)
-    on_tpu = jax.default_backend() == "tpu"
-    # default OFF: the Pallas path measured slower end to end (see module
-    # docstring); opt in with HVT_FUSED_GN=1 for experiments
-    if os.environ.get("HVT_FUSED_GN", "0") != "1" or not on_tpu:
-        return _reference(x, scale, bias, groups, eps, act)
-    return _fused(x, scale, bias, groups, eps, act, False)
+    impl = os.environ.get("HVT_GN_IMPL")
+    if impl is None:
+        impl = ("pallas" if os.environ.get("HVT_FUSED_GN", "0") == "1"
+                else "flax")
+    if impl == "pallas" and jax.default_backend() == "tpu":
+        return _fused(x, scale, bias, groups, eps, act, False)
+    if impl == "two_stage":
+        return _two_stage(x, scale, bias, groups, eps, act)
+    return _reference(x, scale, bias, groups, eps, act)

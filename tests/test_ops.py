@@ -201,6 +201,42 @@ def test_group_norm_act_matches_flax():
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_group_norm_two_stage_matches_flax():
+    """The lane-friendly two-stage stats order vs nn.GroupNorm: values and
+    grads, fp32 and bf16, non-square spatial, groups of 16 channels (the
+    production fragment size the flax order reduces badly on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from humanvid_tpu.ops.group_norm import _two_stage
+
+    rng = np.random.default_rng(9)
+    for shape, groups in [((2, 6, 4, 32), 8), ((3, 10, 16), 4),
+                          ((2, 5, 7, 320), 32)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * 2 + 1
+        scale = jnp.asarray(rng.normal(size=shape[-1:]).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=shape[-1:]).astype(np.float32))
+        gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+        want = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+        got = _two_stage(x, scale, bias, groups, 1e-5, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+        got_b = _two_stage(x.astype(jnp.bfloat16), scale, bias, groups,
+                           1e-5, None)
+        np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                                   np.asarray(want), rtol=0.02, atol=0.02)
+        g_ref = jax.grad(lambda *a: jnp.sum(
+            nn.silu(gn.apply({"params": {"scale": a[1], "bias": a[2]}},
+                             a[0])) ** 2), (0, 1, 2))(x, scale, bias)
+        g_got = jax.grad(lambda *a: jnp.sum(
+            _two_stage(a[0], a[1], a[2], groups, 1e-5, "silu") ** 2),
+            (0, 1, 2))(x, scale, bias)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_group_norm_fused_kernel_interpret():
     """The Pallas stats kernel + fused normalize path vs the reference,
     values AND custom_vjp grads, incl. a non-divisible row count."""

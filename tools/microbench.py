@@ -381,6 +381,41 @@ def probe_gn():
         _emit(f"gn_silu_{tag}", sec, dts, hbm_gbs=round(gbs, 1))
 
 
+def probe_gnstats():
+    """GN formulation shoot-out at the r5 hot shapes (trace: GN-stats
+    convert_reduce fusions run at 22-82 GB/s = 55% of the VAE decode, 16%
+    of the UNet pass). Compares flax's reduce order (rows + lane-minor
+    16-channel group fragment together) against the two-stage order
+    (per-channel row reduce on full 128-lane vectors, then the tiny
+    (N,C)->(N,G) combine) and the r4 Pallas stats kernel."""
+    from humanvid_tpu.ops.group_norm import _fused, _reference, _two_stage
+
+    rng = np.random.default_rng(0)
+    for tag, shape in (("vae_hi", (8, 768, 512, 128)),
+                       ("vae_mid", (8, 384, 256, 256)),
+                       ("vae_lo", (8, 192, 128, 512)),
+                       ("unet_l0", (24, 96, 64, 320)),
+                       ("unet_l3", (24, 24, 16, 1280))):
+        c = shape[-1]
+        x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+        arms = {
+            "flax": lambda xc, s, b: _reference(xc, s, b, 32, 1e-6, "silu"),
+            "two_stage": lambda xc, s, b: _two_stage(xc, s, b, 32, 1e-6,
+                                                     "silu"),
+            "pallas": lambda xc, s, b: _fused(xc, s, b, 32, 1e-6, "silu",
+                                              False),
+        }
+        for arm, op in arms.items():
+            fn, n = _chain(op, 40)
+            sec, dts = _time(jax.jit(fn), x, scale, bias)
+            sec /= n
+            # minimum real traffic: read x + write y
+            _emit(f"gnstats_{tag}_{arm}", sec, dts,
+                  gbs=round(2 * x.size * 2 / sec / 1e9, 1))
+
+
 def probe_hbm():
     """Raw HBM streaming floor at the decode/UNet tensor shapes: a pure
     elementwise map (1 read + 1 write) and a two-operand add (2R + 1W).
@@ -530,7 +565,7 @@ PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
           "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
           "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn,
           "vaeattn": probe_vaeattn, "flash_bwd": probe_flash_bwd,
-          "hbm": probe_hbm}
+          "hbm": probe_hbm, "gnstats": probe_gnstats}
 
 
 if __name__ == "__main__":
