@@ -161,7 +161,14 @@ def load_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
 def fvd_logits(variables, videos: np.ndarray, batch: int = 2) -> np.ndarray:
     """(n, f, 224, 224, 3) in [-1,1] -> (n, 400) logits, jit-batched."""
     model = I3D()
-    run = jax.jit(partial(model.apply, variables))
+    # variables as a jit ARGUMENT (one packed transfer), not a closure:
+    # closure params become HLO literals, and a literal-heavy program can
+    # break the axon remote-compile pipe (see metrics/weights.py clip note)
+    from ..utils.transfer import packed_device_put
+
+    variables = packed_device_put(variables)
+    run = jax.jit(model.apply)
+    run = partial(run, variables)
     outs = []
     for i in range(0, videos.shape[0], batch):
         chunk = videos[i:i + batch]

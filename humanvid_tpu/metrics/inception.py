@@ -217,7 +217,14 @@ def load_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
 def fid_features(variables, images: np.ndarray, batch: int = 32) -> np.ndarray:
     """(n, H, W, 3) [0,1] -> (n, 2048) features, jit-batched."""
     model = InceptionV3Features()
-    run = jax.jit(partial(model.apply, variables))
+    # variables as a jit ARGUMENT (one packed transfer), not a closure:
+    # closure params become HLO literals, and a literal-heavy program can
+    # break the axon remote-compile pipe (see metrics/weights.py clip note)
+    from ..utils.transfer import packed_device_put
+
+    variables = packed_device_put(variables)
+    run = jax.jit(model.apply)
+    run = partial(run, variables)
     outs = []
     n = images.shape[0]
     for i in range(0, n, batch):

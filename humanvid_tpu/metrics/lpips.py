@@ -112,7 +112,14 @@ def lpips_distance(variables, a: np.ndarray, b: np.ndarray,
                    batch: int = 8) -> np.ndarray:
     """(n, H, W, 3) [0,1] pairs -> (n,) perceptual distances, jit-batched."""
     model = LPIPS()
-    run = jax.jit(partial(model.apply, variables))
+    # variables as a jit ARGUMENT (one packed transfer), not a closure:
+    # closure params become HLO literals, and a literal-heavy program can
+    # break the axon remote-compile pipe (see metrics/weights.py clip note)
+    from ..utils.transfer import packed_device_put
+
+    variables = packed_device_put(variables)
+    run = jax.jit(model.apply)
+    run = partial(run, variables)
     outs = []
     for i in range(0, a.shape[0], batch):
         ca, cb = a[i:i + batch], b[i:i + batch]

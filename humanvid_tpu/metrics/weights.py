@@ -62,7 +62,15 @@ def _make_clip_apply(sd: Dict[str, Any], clip_batch: int = 8):
     if missing:
         raise KeyError(f"clip_vitl14: {len(missing)} missing keys, "
                        f"e.g. {missing[:3]}")
-    run = jax.jit(lambda x: model.apply(params, clip_preprocess(x)))
+    # params ride as a jit ARGUMENT, staged once with a packed transfer: a
+    # closure would bake the ~1.2 GB CLIP-L tree into the HLO as literals,
+    # and serializing that program reliably broke the axon remote-compile
+    # pipe (6/6 "Broken pipe (os error 32)" in the r5 eval-gate runs)
+    from ..utils.transfer import packed_device_put
+
+    params = packed_device_put(params)
+    _run = jax.jit(lambda p, x: model.apply(p, clip_preprocess(x)))
+    run = lambda x: _run(params, x)
 
     def clip_apply(frames: np.ndarray) -> np.ndarray:
         # reference sim.py:43 feeds frames through CLIPProcessor: short-side

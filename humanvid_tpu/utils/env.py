@@ -16,6 +16,17 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_compilation") -> None
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
         return
+    if os.environ.get("HVT_PLATFORM"):
+        # Uniform platform override for every entry point. The image's
+        # sitecustomize imports jax at interpreter start with
+        # JAX_PLATFORMS=axon, so the env var alone cannot retarget a script
+        # (the config default is already latched); jax.config.update before
+        # first backend use is the only reliable switch. Lets e.g. a metric
+        # subprocess fall back to CPU when the remote-compile tunnel is
+        # dropping (HVT_PLATFORM=cpu tools/eval_gate.py phases).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["HVT_PLATFORM"])
     if os.environ.get("HVT_NO_COMPILATION_CACHE"):
         # Opt-out: stale AOT entries compiled on a different host spam
         # cpu_aot_loader errors (harmless but noisy/slow); callers that need
