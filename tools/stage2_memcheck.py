@@ -49,7 +49,10 @@ def main():
         argv.remove("stage1")
         H = int(argv[0]) if len(argv) > 0 else 512
         W = int(argv[1]) if len(argv) > 1 else 896
-        B, F = 8, 1
+        # reference global batch is 8 (configs/train/stage1.yaml); the
+        # per-chip slice under the production 8-way data-parallel mesh is
+        # bs 1 — HVT_STAGE1_BS probes any point
+        B, F = int(os.environ.get("HVT_STAGE1_BS", "8")), 1
     else:
         H = int(argv[0]) if len(argv) > 0 else 896
         W = int(argv[1]) if len(argv) > 1 else 512
@@ -154,8 +157,14 @@ def main():
         "pose": rng_np.uniform(0, 1, (B, F, H, W, 3)).astype(np.float32),
         "plucker": rng_np.uniform(-1, 1, (B, F, H, W, 6)).astype(np.float32),
     }
-    dev = jax.block_until_ready(
-        packed_device_put({"t": trainable, "f": frozen, "b": host_batch}))
+    from humanvid_tpu.utils.transfer import device_put_zeros
+
+    # params as on-device zeros (no host->device payload — throughput and
+    # allocator behavior are weight-independent); only the small real batch
+    # rides the tunnel
+    dev = {"t": jax.block_until_ready(device_put_zeros(trainable)),
+           "f": jax.block_until_ready(device_put_zeros(frozen)),
+           "b": jax.block_until_ready(packed_device_put(host_batch))}
     opt_state = jax.block_until_ready(jax.jit(tx.init)(dev["t"]))
     from humanvid_tpu.train import TrainState as TS
     live = TS(step=jnp.zeros((), jnp.int32), params=dev["t"],
