@@ -67,8 +67,14 @@ from jax.experimental.pallas import tpu as pltpu
 #   intermediates; the budget stays 96 MB of the v5e's 128 MB physical VMEM
 #   so larger experimental blocks still compile ((1024, 2048) needs ~78 MB
 #   with the double-buffered logits).
+#   HVT_FLASH_LAYOUT — "t" (default; r5 transposed-PV forward, 66.6 TF/s at
+#   the level-0 shape) or "q" (the straight r3 kernel, 51.6 TF/s). The
+#   transposed layout only applies when d+1 <= 128 sublanes; wide heads
+#   (the VAE's d=512) always take the straight kernel, whose PV output is
+#   lane-complete already.
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
+_FWD_LAYOUT = os.environ.get("HVT_FLASH_LAYOUT", "t")
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
 _BWD_BLOCK_Q = int(os.environ.get("HVT_FLASH_BWD_BQ", "512"))
 _BWD_BLOCK_KV = int(os.environ.get("HVT_FLASH_BWD_BKV", "1024"))
@@ -162,6 +168,80 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, heads: int, has_bias: bool):
             axis=0)  # (heads, bq), log2 units
 
 
+def _fwd_kernel_t(q_ref, k_ref, vt_ref, *rest, heads: int, has_bias: bool):
+    """Transposed-pipeline forward (r5): logits_t = k_h q_h^T (bkv, bq),
+    softmax along sublanes, acc_t = v_h^T p -> (d+1, bq).
+
+    Why: the straight kernel's PV contraction emits (bq, d+1) — 41 of 128
+    output LANES for SD's d=40 heads, so every PV MXU pass wastes 68% of
+    the array. Emitting (d+1, bq) keeps all 128 output lanes live (bq) and
+    moves the padding to sublanes (41 -> 48, 1.17x). Measured at the
+    level-0 ref-KV shape: 66.6 TF/s vs 51.6 for the straight kernel (r5
+    microbench `pvt`), above the old "61.5 TF/s d=40 ceiling" — that
+    ceiling priced the PV lane pad, which this layout escapes. Numerics are
+    bit-identical (same contraction order). The tiny (d, bq) -> (bq, d)
+    accumulator transposes happen once per q block at the end, amortized
+    over the kv loop. Same out/lse contract as ``_fwd_kernel``, so the
+    backward kernels are shared. Blocks: v rides pre-transposed (1, C_aug,
+    bkv); the bias column block is (1, bkv, 1) and broadcasts over lanes.
+    """
+    if has_bias:
+        bias_ref, o_ref, lse_ref, *scratch = rest
+    else:
+        o_ref, lse_ref, *scratch = rest
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+    accs, ms = scratch[:heads], scratch[heads:]
+    c = q_ref.shape[-1]
+    d = c // heads
+
+    @pl.when(j == 0)
+    def _():
+        for h in range(heads):
+            accs[h][...] = jnp.zeros_like(accs[h])
+            ms[h][...] = jnp.full_like(ms[h], -jnp.inf)
+
+    q = q_ref[0]      # (bq, C), pre-scaled by scale*log2e
+    k = k_ref[0]      # (bkv, C)
+    vt = vt_ref[0]    # (heads*(d+1), bkv), pre-transposed + ones row
+
+    def qk_t(h):
+        sl = slice(h * d, (h + 1) * d)
+        lt = jax.lax.dot_general(
+            k[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bkv, bq), log2 domain
+        if has_bias:
+            lt = lt + bias_ref[0]  # (bkv, 1) broadcasts over the bq lanes
+        return lt
+
+    # software-pipelined head loop, as in _fwd_kernel
+    lt = qk_t(0)
+    for h in range(heads):
+        nxt = qk_t(h + 1) if h + 1 < heads else None
+        m_prev = ms[h][...]                        # (1, bq)
+        m_cur = jnp.max(lt, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(lt - m_new)                   # (bkv, bq)
+        ms[h][...] = m_new
+        accs[h][...] = accs[h][...] * alpha + jax.lax.dot_general(
+            vt[h * (d + 1):(h + 1) * (d + 1), :], p.astype(vt.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d+1, bq): rows [v_h^T p ; colsum(p)]
+        lt = nxt
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        o_ref[0] = jnp.concatenate(
+            [(accs[h][:d, :] / accs[h][d:, :]).T.astype(o_ref.dtype)
+             for h in range(heads)], axis=-1)
+        lse_ref[0] = jnp.concatenate(
+            [ms[h][...] + jnp.log2(accs[h][d:, :]) for h in range(heads)],
+            axis=0)  # (heads, bq), log2 units
+
+
 def _augment_v(v, heads):
     """(B, Lk, heads*d) -> (B, Lk, heads*(d+1)) with a ones column appended
     to every head slice — the PV contraction's denominator column."""
@@ -202,20 +282,45 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lk_pad - lk)),
                            constant_values=NEG_INF)
     has_bias = key_bias is not None
-    inputs = [qs, k, v]
-    in_specs = [
-        pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, block_kv, c_v), lambda b, i, j: (b, j, 0)),
-    ]
-    if has_bias:
-        inputs.append((key_bias * LOG2E).astype(jnp.float32)[:, None, :])
-        in_specs.append(
-            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)))
-
+    # transposed layout (r5): PV emits (d+1, bq) — full output lanes, the
+    # d=40 pad moves to sublanes. Only for heads small enough to fit the
+    # sublane tile budget; HVT_FLASH_LAYOUT=q forces the straight kernel.
+    use_t = (d + 1) <= 128 and _FWD_LAYOUT != "q"
     grid = (b, lq_pad // block_q, lk_pad // block_kv)
+    if use_t:
+        vt = jnp.swapaxes(v, 1, 2)  # (B, C_aug, Lk_pad)
+        inputs = [qs, k, vt]
+        in_specs = [
+            pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, c_v, block_kv), lambda b, i, j: (b, 0, j)),
+        ]
+        if has_bias:
+            inputs.append((key_bias * LOG2E).astype(jnp.float32)[:, :, None])
+            in_specs.append(
+                pl.BlockSpec((1, block_kv, 1), lambda b, i, j: (b, j, 0)))
+        kernel = functools.partial(_fwd_kernel_t, heads=heads,
+                                   has_bias=has_bias)
+        scratch = ([pltpu.VMEM((d + 1, block_q), jnp.float32)] * heads
+                   + [pltpu.VMEM((1, block_q), jnp.float32)] * heads)
+    else:
+        inputs = [qs, k, v]
+        in_specs = [
+            pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, c_v), lambda b, i, j: (b, j, 0)),
+        ]
+        if has_bias:
+            inputs.append((key_bias * LOG2E).astype(jnp.float32)[:, None, :])
+            in_specs.append(
+                pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)))
+        kernel = functools.partial(_fwd_kernel, heads=heads,
+                                   has_bias=has_bias)
+        scratch = ([pltpu.VMEM((block_q, d + 1), jnp.float32)] * heads
+                   + [pltpu.VMEM((block_q, 1), jnp.float32)] * heads)
+
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, has_bias=has_bias),
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -226,10 +331,7 @@ def _flash_fwd(q, k, v, key_bias, heads, *, block_q: int, block_kv: int,
             jax.ShapeDtypeStruct((b, lq_pad, c), q.dtype),
             jax.ShapeDtypeStruct((b, heads, lq_pad), jnp.float32),
         ],
-        scratch_shapes=(
-            [pltpu.VMEM((block_q, d + 1), jnp.float32)] * heads
-            + [pltpu.VMEM((block_q, 1), jnp.float32)] * heads
-        ),
+        scratch_shapes=scratch,
         compiler_params=_compiler_params(),
     )(*inputs)
     out = out[:, :lq] if lq_pad != lq else out

@@ -35,6 +35,31 @@ def test_flash_forward_matches_reference_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_forward_both_layouts_interpret(monkeypatch):
+    """The r5 transposed-PV forward (default) and the straight r3 kernel
+    must agree with the reference AND with each other, incl. a padded tail
+    and the CFG bias pattern — the two layouts share the backward, so the
+    out/lse contract must be interchangeable."""
+    from humanvid_tpu.ops import flash_attention as fa
+
+    q, k, v, bias = _make(lq=100, lk=300)
+    outs = {}
+    for layout in ("t", "q"):
+        monkeypatch.setattr(fa, "_FWD_LAYOUT", layout)
+        with pltpu.force_tpu_interpret_mode():
+            outs[layout] = np.asarray(
+                flash_attention(q, k, v, bias, block_q=128, block_kv=128))
+    h = q.shape[1]
+    ref = _xla_reference(
+        q.reshape(-1, *q.shape[2:]), k.reshape(-1, *k.shape[2:]),
+        v.reshape(-1, *v.shape[2:]),
+        jnp.repeat(bias[:, 0, 0, :], h, axis=0),
+    ).reshape(q.shape)
+    np.testing.assert_allclose(outs["t"], np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(outs["q"], np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(outs["t"], outs["q"], atol=2e-6)
+
+
 def test_flash_forward_unpadded_tail_interpret():
     # lq/lk not multiples of the block sizes exercises the padding path
     q, k, v, bias = _make(lq=100, lk=150)

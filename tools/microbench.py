@@ -381,6 +381,172 @@ def probe_gn():
         _emit(f"gn_silu_{tag}", sec, dts, hbm_gbs=round(gbs, 1))
 
 
+def probe_pvt():
+    """EXPERIMENT: fully-transposed flash forward (d-major PV emission).
+
+    The shipped kernel's PV contraction emits (bq, d+1=41) — 41 of 128
+    output LANES, so every MXU pass wastes 68% of the array (the r3 d-major
+    probe hinted the other orientation is ~3x better but was confounded by
+    relayout cost). This prototype computes the whole inner pipeline
+    transposed: logits_t = k_h q_h^T (bkv, bq), softmax along SUBLANES,
+    acc_t = v_h^T p (d+1, bq) — output lanes full bq, the 41 pads only to
+    48 sublanes (1.17x vs 3.1x). Per-head transpose of the tiny (d, bq)
+    acc happens once per q block at the end. Numerics checked against the
+    shipped kernel in-probe before timing.
+    """
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from humanvid_tpu.ops import flash_attention as fa
+    from humanvid_tpu.ops.common import LOG2E, NEG_INF
+
+    def kernel_t(q_ref, k_ref, vt_ref, *rest, heads, has_bias):
+        if has_bias:
+            bias_ref, o_ref, lse_ref, *scratch = rest
+        else:
+            o_ref, lse_ref, *scratch = rest
+        j = pl.program_id(2)
+        num_kv = pl.num_programs(2)
+        accs, ms = scratch[:heads], scratch[heads:]
+        c = q_ref.shape[-1]
+        d = c // heads
+
+        @pl.when(j == 0)
+        def _():
+            for h in range(heads):
+                accs[h][...] = jnp.zeros_like(accs[h])
+                ms[h][...] = jnp.full_like(ms[h], -jnp.inf)
+
+        q = q_ref[0]      # (bq, C) pre-scaled by scale*log2e
+        k = k_ref[0]      # (bkv, C)
+        vt = vt_ref[0]    # (heads*(d+1), bkv) pre-transposed+augmented
+
+        def qk_t(h):
+            sl = slice(h * d, (h + 1) * d)
+            lt = jax.lax.dot_general(
+                k[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bkv, bq), log2 domain
+            if has_bias:
+                lt = lt + bias_ref[0]  # (bkv, 1) broadcasts over bq lanes
+            return lt
+
+        lt = qk_t(0)
+        for h in range(heads):
+            nxt = qk_t(h + 1) if h + 1 < heads else None
+            m_prev = ms[h][...]                       # (1, bq)
+            m_cur = jnp.max(lt, axis=0, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)          # (1, bq)
+            p = jnp.exp2(lt - m_new)                  # (bkv, bq)
+            ms[h][...] = m_new
+            accs[h][...] = accs[h][...] * alpha + jax.lax.dot_general(
+                vt[h * (d + 1):(h + 1) * (d + 1), :], p.astype(vt.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d+1, bq): rows [v^T p ; colsum(p)]
+            lt = nxt
+
+        @pl.when(j == num_kv - 1)
+        def _():
+            o_ref[0] = jnp.concatenate(
+                [(accs[h][:d, :] / accs[h][d:, :]).T.astype(o_ref.dtype)
+                 for h in range(heads)], axis=-1)
+            lse_ref[0] = jnp.concatenate(
+                [ms[h][...] + jnp.log2(accs[h][d:, :])
+                 for h in range(heads)], axis=0)  # (heads, bq)
+
+    def flash_t(q, k, v, key_bias, heads, block_q, block_kv):
+        b, lq, c = q.shape
+        lk = k.shape[1]
+        d = c // heads
+        scale = d ** -0.5
+        qs = (q * q.dtype.type(scale * LOG2E)).astype(q.dtype)
+        vt = jnp.swapaxes(fa._augment_v(v, heads), 1, 2)  # (B, C_aug, Lk)
+        c_v = heads * (d + 1)
+        has_bias = key_bias is not None
+        inputs = [qs, k, vt]
+        in_specs = [
+            pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, c_v, block_kv), lambda b, i, j: (b, 0, j)),
+        ]
+        if has_bias:
+            inputs.append(
+                (key_bias * LOG2E).astype(jnp.float32)[:, :, None])
+            in_specs.append(
+                pl.BlockSpec((1, block_kv, 1), lambda b, i, j: (b, j, 0)))
+        grid = (b, lq // block_q, lk // block_kv)
+        out, lse = pl.pallas_call(
+            ft.partial(kernel_t, heads=heads, has_bias=has_bias),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+                jax.ShapeDtypeStruct((b, heads, lq), jnp.float32),
+            ],
+            scratch_shapes=(
+                [pltpu.VMEM((d + 1, block_q), jnp.float32)] * heads
+                + [pltpu.VMEM((1, block_q), jnp.float32)] * heads
+            ),
+            compiler_params=fa._compiler_params(),
+        )(*inputs)
+        return out
+
+    rng = np.random.default_rng(0)
+    heads, d = 8, 40
+    c = heads * d
+
+    # numerics first, at a small real shape with a bias row
+    b0, lq0, lk0 = 2, 1024, 2048
+    q0 = jnp.asarray(rng.normal(size=(b0, lq0, c)), jnp.bfloat16)
+    k0 = jnp.asarray(rng.normal(size=(b0, lk0, c)), jnp.bfloat16)
+    v0 = jnp.asarray(rng.normal(size=(b0, lk0, c)), jnp.bfloat16)
+    bias0 = jnp.where(
+        jnp.arange(lk0)[None, :] % 7 == 0, NEG_INF, 0.0
+    ).astype(jnp.float32) * jnp.ones((b0, 1), jnp.float32)
+    want = fa._flash_fwd(q0, k0, v0, bias0, heads,
+                         block_q=512, block_kv=512)
+    got = flash_t(q0, k0, v0, bias0, heads, 512, 512)
+    err = float(jnp.max(jnp.abs(want.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    print(f"# pvt numerics max|delta| = {err:.5f} (bf16 tolerance ~0.02)",
+          file=sys.stderr, flush=True)
+    assert err < 0.05, err
+
+    # timing at the level-0 inference shape (24 rows x 8 heads, ref-KV)
+    b1, lq1, lk1 = 24, 6144, 12288
+    q1 = jnp.asarray(rng.normal(size=(b1, lq1, c)), jnp.bfloat16)
+    k1 = jnp.asarray(rng.normal(size=(b1, lk1, c)), jnp.bfloat16)
+    v1 = jnp.asarray(rng.normal(size=(b1, lk1, c)), jnp.bfloat16)
+    flops = 4 * b1 * heads * lq1 * lk1 * d
+    for name, bq, bkv in (("cur_1024x1024", 1024, 1024),
+                          ("pvt_1024x1024", 1024, 1024),
+                          ("pvt_512x1024", 512, 1024),
+                          ("pvt_1024x2048", 1024, 2048),
+                          ("pvt_512x2048", 512, 2048)):
+        if name.startswith("cur"):
+            op = lambda q_, k_, v_: fa._flash_fwd(q_, k_, v_, None, heads,
+                                                  block_q=bq, block_kv=bkv)
+        else:
+            op = lambda q_, k_, v_: flash_t(q_, k_, v_, None, heads, bq, bkv)
+        fn, n = _chain(op, 10)
+        try:
+            sec, dts = _time(jax.jit(fn), q1, k1, v1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# pvt {name} failed: {str(e).splitlines()[0][:200]}",
+                  file=sys.stderr, flush=True)
+            continue
+        sec /= n
+        _emit(f"pvt_{name}", sec, dts, tflops=round(flops / sec / 1e12, 2))
+
+
 def probe_gnstats():
     """GN formulation shoot-out at the r5 hot shapes (trace: GN-stats
     convert_reduce fusions run at 22-82 GB/s = 55% of the VAE decode, 16%
@@ -565,7 +731,7 @@ PROBES = {"flash": probe_flash, "flash_sweep": probe_flash_sweep,
           "temporal": probe_temporal, "unet": probe_unet, "vae": probe_vae,
           "dmajor": probe_dmajor, "conv": probe_conv, "gn": probe_gn,
           "vaeattn": probe_vaeattn, "flash_bwd": probe_flash_bwd,
-          "hbm": probe_hbm, "gnstats": probe_gnstats}
+          "hbm": probe_hbm, "gnstats": probe_gnstats, "pvt": probe_pvt}
 
 
 if __name__ == "__main__":
