@@ -75,6 +75,7 @@ from jax.experimental.pallas import tpu as pltpu
 _DEFAULT_BLOCK_Q = int(os.environ.get("HVT_FLASH_BQ", "1024"))
 _DEFAULT_BLOCK_KV = int(os.environ.get("HVT_FLASH_BKV", "1024"))
 _FWD_LAYOUT = os.environ.get("HVT_FLASH_LAYOUT", "t")
+_BWD_LAYOUT = os.environ.get("HVT_FLASH_BWD_LAYOUT", "t")
 _BWD_MODE = os.environ.get("HVT_FLASH_BWD", "kernel")
 _BWD_BLOCK_Q = int(os.environ.get("HVT_FLASH_BWD_BQ", "512"))
 _BWD_BLOCK_KV = int(os.environ.get("HVT_FLASH_BWD_BKV", "1024"))
@@ -411,6 +412,128 @@ def _dkv_kernel(q_ref, k_ref, v_ref, *rest, heads: int, scale: float,
             [dvs[h][:].astype(dv_ref.dtype) for h in range(heads)], axis=-1)
 
 
+def _dkv_kernel_t(q_ref, k_ref, v_ref, *rest, heads: int, scale: float,
+                  has_bias: bool):
+    """d-major-output variant of ``_dkv_kernel`` (r5): p/ds stay in the
+    straight (bq, bkv) orientation (their QK/GV contractions are already
+    lane-complete), but the dk/dv accumulations emit (d, bkv) — full output
+    lanes instead of 41-of-128 — via lhs = per-head transposed g/q slices
+    (a tiny (bq, d) -> (d, bq) shuffle per head per step; the big (bq, bkv)
+    matrices are never transposed). Accumulators transpose back once per kv
+    block at the end. Same I/O contract as ``_dkv_kernel``."""
+    if has_bias:
+        bias_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *scratch = rest
+    else:
+        g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *scratch = rest
+    j = pl.program_id(2)
+    num_q = pl.num_programs(2)
+    dks, dvs = scratch[:heads], scratch[heads:]
+    c = q_ref.shape[-1]
+    d = c // heads
+
+    @pl.when(j == 0)
+    def _():
+        for h in range(heads):
+            dks[h][:] = jnp.zeros_like(dks[h])
+            dvs[h][:] = jnp.zeros_like(dvs[h])
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    dtype = q.dtype
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        logits = jax.lax.dot_general(
+            qh * dtype.type(scale * LOG2E), kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bkv)
+        if has_bias:
+            logits = logits + bias_ref[0, 0][None, :]
+        p = jnp.exp2(logits - lse_ref[0, h][:, None])
+        # dv_t += g_h^T p : lhs (d, bq) x rhs (bq, bkv) -> (d, bkv)
+        dvs[h][:] = dvs[h][:] + jax.lax.dot_general(
+            gh.T, p.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, h][:, None])
+        # dk_t += q_h^T ds * scale : (d, bq) x (bq, bkv) -> (d, bkv)
+        dks[h][:] = dks[h][:] + jax.lax.dot_general(
+            qh.T, ds.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(j == num_q - 1)
+    def _():
+        dk_ref[0] = jnp.concatenate(
+            [dks[h][:].T.astype(dk_ref.dtype) for h in range(heads)], axis=-1)
+        dv_ref[0] = jnp.concatenate(
+            [dvs[h][:].T.astype(dv_ref.dtype) for h in range(heads)], axis=-1)
+
+
+def _dq_kernel_t(q_ref, k_ref, v_ref, *rest, heads: int, scale: float,
+                 has_bias: bool):
+    """Fully transposed ``_dq_kernel`` (r5): the whole per-head pipeline
+    runs in the (bkv, bq) orientation — logits_t = k_h q_h^T, p_t/ds_t
+    with the per-row lse/delta broadcasting over sublanes, and the dq
+    accumulation k_h^T ds_t -> (d, bq) with full output lanes (the straight
+    kernel emits (bq, d=41-of-128 lanes)). Per-head (bkv, d) -> (d, bkv)
+    k-slice transposes are tiny; the big matrices stay put. Bias arrives as
+    a (1, block_kv, 1) column (same form as the transposed forward)."""
+    if has_bias:
+        bias_ref, g_ref, lse_ref, delta_ref, dq_ref, *scratch = rest
+    else:
+        g_ref, lse_ref, delta_ref, dq_ref, *scratch = rest
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+    dqs = scratch
+    c = q_ref.shape[-1]
+    d = c // heads
+
+    @pl.when(j == 0)
+    def _():
+        for h in range(heads):
+            dqs[h][:] = jnp.zeros_like(dqs[h])
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    dtype = q.dtype
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        lt = jax.lax.dot_general(
+            kh, (qh * dtype.type(scale * LOG2E)).T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bkv, bq)
+        if has_bias:
+            lt = lt + bias_ref[0]  # (bkv, 1) broadcasts over bq lanes
+        p_t = jnp.exp2(lt - lse_ref[0, h][None, :])
+        dp_t = jax.lax.dot_general(
+            vh, gh.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bkv, bq)
+        ds_t = p_t * (dp_t - delta_ref[0, h][None, :])
+        # dq_t += k_h^T ds_t * scale : (d, bkv) x (bkv, bq) -> (d, bq)
+        dqs[h][:] = dqs[h][:] + jax.lax.dot_general(
+            kh.T, ds_t.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        dq_ref[0] = jnp.concatenate(
+            [dqs[h][:].T.astype(dq_ref.dtype) for h in range(heads)],
+            axis=-1)
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, *rest, heads: int, scale: float,
                has_bias: bool):
     """Grid (B, q_blocks, kv_blocks); kv innermost (sequential)."""
@@ -499,6 +622,10 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
     has_bias = key_bias is not None
     bias_in = ([(key_bias * LOG2E).astype(jnp.float32)[:, None, :]]
                if has_bias else [])
+    # d-major-output backward (r5): full output lanes in the dk/dv/dq
+    # accumulations (the straight kernels emit d=41-of-128 lanes). Same
+    # gate as the transposed forward; HVT_FLASH_BWD_LAYOUT=q reverts.
+    use_t = d <= 128 and _BWD_LAYOUT != "q"
 
     kv_specs = dict(
         q=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, j, 0)),
@@ -507,8 +634,8 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
         row=pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, j)),
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, heads=heads, scale=scale,
-                          has_bias=has_bias),
+        functools.partial(_dkv_kernel_t if use_t else _dkv_kernel,
+                          heads=heads, scale=scale, has_bias=has_bias),
         grid=(b, lk_pad // block_kv, lq_pad // block_q),
         in_specs=[
             kv_specs["q"], kv_specs["k"], kv_specs["k"],
@@ -523,7 +650,10 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
             jax.ShapeDtypeStruct((b, lk_pad, c), k.dtype),
             jax.ShapeDtypeStruct((b, lk_pad, c), v.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32)] * (2 * heads),
+        scratch_shapes=(
+            [pltpu.VMEM((d, block_kv), jnp.float32)] * (2 * heads)
+            if use_t else
+            [pltpu.VMEM((block_kv, d), jnp.float32)] * (2 * heads)),
         compiler_params=_compiler_params(),
     )(q, k, v, *bias_in, g, lse, delta)
 
@@ -531,22 +661,31 @@ def _flash_bwd_kernel(q, k, v, key_bias, out, lse, g, heads, *, block_q: int,
         q=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
         k=pl.BlockSpec((1, block_kv, c), lambda b, i, j: (b, j, 0)),
         bias=pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
+        bias_t=pl.BlockSpec((1, block_kv, 1), lambda b, i, j: (b, j, 0)),
         row=pl.BlockSpec((1, heads, block_q), lambda b, i, j: (b, 0, i)),
     )
+    dq_bias_in = bias_in
+    dq_bias_spec = q_specs["bias"]
+    if use_t and has_bias:
+        # the transposed dq kernel consumes the bias as a (bkv, 1) column
+        dq_bias_in = [(key_bias * LOG2E).astype(jnp.float32)[:, :, None]]
+        dq_bias_spec = q_specs["bias_t"]
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, heads=heads, scale=scale,
-                          has_bias=has_bias),
+        functools.partial(_dq_kernel_t if use_t else _dq_kernel,
+                          heads=heads, scale=scale, has_bias=has_bias),
         grid=(b, lq_pad // block_q, lk_pad // block_kv),
         in_specs=[
             q_specs["q"], q_specs["k"], q_specs["k"],
-            *([q_specs["bias"]] if has_bias else []),
+            *([dq_bias_spec] if has_bias else []),
             q_specs["q"], q_specs["row"], q_specs["row"],
         ],
         out_specs=pl.BlockSpec((1, block_q, c), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lq_pad, c), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)] * heads,
+        scratch_shapes=(
+            [pltpu.VMEM((d, block_q), jnp.float32)] * heads if use_t else
+            [pltpu.VMEM((block_q, d), jnp.float32)] * heads),
         compiler_params=_compiler_params(),
-    )(q, k, v, *bias_in, g, lse, delta)
+    )(q, k, v, *dq_bias_in, g, lse, delta)
 
     dq = dq[:, :lq] if lq_pad != lq else dq
     dk = dk[:, :lk] if lk_pad != lk else dk

@@ -60,6 +60,29 @@ def test_flash_forward_both_layouts_interpret(monkeypatch):
     np.testing.assert_allclose(outs["t"], outs["q"], atol=2e-6)
 
 
+def test_flash_backward_both_layouts_interpret(monkeypatch):
+    """The d-major-output backward kernels (default) and the straight r3
+    kernels must produce identical dq/dk/dv, incl. padded tails + bias."""
+    from humanvid_tpu.ops import flash_attention as fa
+
+    q, k, v, bias = _make(lq=100, lk=300, d=16)
+
+    def grads(q_, k_, v_):
+        def loss(qq, kk, vv):
+            out = flash_attention(qq, kk, vv, bias, block_q=128,
+                                  block_kv=128)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return jax.grad(loss, (0, 1, 2))(q_, k_, v_)
+
+    outs = {}
+    for layout in ("t", "q"):
+        monkeypatch.setattr(fa, "_BWD_LAYOUT", layout)
+        with pltpu.force_tpu_interpret_mode():
+            outs[layout] = [np.asarray(x) for x in grads(q, k, v)]
+    for a, b in zip(outs["t"], outs["q"]):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_flash_forward_unpadded_tail_interpret():
     # lq/lk not multiples of the block sizes exercises the padding path
     q, k, v, bias = _make(lq=100, lk=150)
